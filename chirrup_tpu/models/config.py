@@ -1,0 +1,65 @@
+"""Model/runtime configuration for RWKV-7 on TPU."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+HEAD_SIZE = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class RWKV7Config:
+    """Static architecture description of an RWKV-7 "Goose" checkpoint.
+
+    Shapes follow the public RWKV-LM checkpoint format; the reference engine infers
+    n_head/head_size from `blocks.0.att.r_k` and n_layer by scanning keys
+    (/root/reference/Albatross/rwkv7.py:171-192). Published g1 sizes: 0.1B (L12 D768),
+    0.4B (L24 D1024), 1.5B (L24 D2048), 2.9B (L32 D2560), 7.2B (L32 D4096).
+    """
+
+    n_layer: int
+    n_embd: int
+    vocab_size: int = 65536
+    head_size: int = HEAD_SIZE
+    # low-rank projection widths (decay / iclr / value-residual / gate); inferred from
+    # the checkpoint on load, defaults follow RWKV-LM's size heuristics.
+    d_decay_lora: int = 64
+    d_iclr_lora: int = 64
+    d_v_lora: int = 32
+    d_gate_lora: int = 128
+
+    @property
+    def n_head(self) -> int:
+        return self.n_embd // self.head_size
+
+    @property
+    def d_ffn(self) -> int:
+        return self.n_embd * 4
+
+    def state_bytes_per_request(self, wkv_dtype=jnp.float16) -> int:
+        """Recurrent state footprint of one request (reference: SURVEY §2.2 M2)."""
+        itemsize = jnp.dtype(wkv_dtype).itemsize
+        shift = self.n_layer * 2 * self.n_embd * itemsize
+        wkv = self.n_layer * self.head_size * self.n_embd * itemsize
+        return shift + wkv + 4  # + int32 elapsed counter
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """How the model is executed on TPU."""
+
+    # dtype of activations/matmuls (MXU-friendly)
+    activation_dtype: jnp.dtype = jnp.bfloat16
+    # dtype the WKV matrix state is stored in between steps. float16 halves the HBM
+    # traffic of the hottest loop (the per-step state read/write) at the cost of
+    # rounding the state each step — which the dither compensates, mirroring the
+    # reference's fp16-state design. float32 is the high-precision option.
+    wkv_state_dtype: jnp.dtype = jnp.float16
+    use_dither: bool = True
+    # weight quantization: None (keep activation_dtype) or "int8" (mm8 weight-only)
+    quantization: Optional[str] = None
+    # use the Pallas WKV kernel (False falls back to the lax.scan reference impl)
+    use_pallas_wkv: bool = True

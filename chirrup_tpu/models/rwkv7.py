@@ -1,0 +1,242 @@
+"""Functional RWKV-7 "Goose" model for TPU (JAX).
+
+Re-implements the forward semantics of the reference engine's model runtime
+(/root/reference/Albatross/rwkv7.py:164-679) as pure functions over a parameter
+pytree and an explicit, functional recurrent state — no in-place mutation, no
+TorchScript; the layer loop is a lax.scan over stacked per-layer weights so one XLA
+program covers any depth.
+
+Recurrent state of a batch of B requests (reference state list, rwkv7.py:224-235):
+  shift:   (L, 2, B, C)   token-shift x_prev for TMix [0] and CMix [1]
+  wkv:     (L, B, N, H*N) per-head matrix state, layout [i, h*N+j] (see ops/wkv7.py)
+  elapsed: (B,) int32     total tokens processed (feeds the fp16 dither)
+
+Weight orientation: all linears stored (in, out) for `x @ W`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from chirrup_tpu.models.config import RWKV7Config
+from chirrup_tpu.ops.linear import matmul
+from chirrup_tpu.ops import wkv7 as wkv7_ops
+
+HEAD_SIZE = 64
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RWKVState:
+    """Functional recurrent state for a batch of B requests."""
+
+    shift: Any    # (L, 2, B, C)
+    wkv: Any      # (L, B, N, H*N)
+    elapsed: Any  # (B,) int32
+
+
+def init_state(config: RWKV7Config, batch_size: int, *,
+               shift_dtype=jnp.float32, wkv_dtype=jnp.float32) -> RWKVState:
+    L, C, N = config.n_layer, config.n_embd, config.head_size
+    return RWKVState(
+        shift=jnp.zeros((L, 2, batch_size, C), shift_dtype),
+        wkv=jnp.zeros((L, batch_size, N, C), wkv_dtype),
+        elapsed=jnp.zeros((batch_size,), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------------
+# normalization primitives (fp32 internally)
+
+def layer_norm(x, w, b, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32) \
+        + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def group_norm(x, num_groups, w, b, eps):
+    """Per-head GroupNorm over (..., C) with C = num_groups * head_size
+    (reference TMix uses eps=64e-5, rwkv7.py:647)."""
+    shape = x.shape
+    xf = x.astype(jnp.float32).reshape(shape[:-1] + (num_groups, shape[-1] // num_groups))
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(shape)
+    out = xn * w.astype(jnp.float32) + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _l2_normalize_heads(x, H, N):
+    """Per-head L2 normalize with torch.nn.functional.normalize semantics
+    (x / max(||x||, 1e-12))."""
+    shape = x.shape
+    xf = x.astype(jnp.float32).reshape(shape[:-1] + (H, N))
+    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True))
+    out = xf / jnp.maximum(norm, 1e-12)
+    return out.reshape(shape).astype(x.dtype)
+
+
+def _masked_last(x, lengths, prev):
+    """Last valid position of each row of x (B,T,C); rows with length 0 keep `prev`."""
+    B, T, _ = x.shape
+    if lengths is None:
+        return x[:, -1, :].astype(prev.dtype)
+    idx = jnp.clip(lengths - 1, 0, T - 1)
+    last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0, :]
+    return jnp.where((lengths > 0)[:, None], last.astype(prev.dtype), prev)
+
+
+# ---------------------------------------------------------------------------------
+# blocks
+
+def _tmix(att, layer_is_first, x, shift_prev, v_first, wkv_state, elapsed, lengths,
+          wkv_fn):
+    """Time-mix. Reference: RWKV_x070_TMix_seq_batch (Albatross/rwkv7.py:619-649)."""
+    B, T, C = x.shape
+    H, N = C // HEAD_SIZE, HEAD_SIZE
+
+    xx = jnp.concatenate([shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
+    xr = x + xx * att["x_r"]
+    xw = x + xx * att["x_w"]
+    xk = x + xx * att["x_k"]
+    xv = x + xx * att["x_v"]
+    xa = x + xx * att["x_a"]
+    xg = x + xx * att["x_g"]
+
+    r = matmul(xr, att["Wr"])
+    w_raw = matmul(jnp.tanh(matmul(xw, att["w1"])), att["w2"]) + att["w0"]
+    k = matmul(xk, att["Wk"])
+    v = matmul(xv, att["Wv"])
+    a = jax.nn.sigmoid(matmul(matmul(xa, att["a1"]), att["a2"]) + att["a0"])
+    g = matmul(jax.nn.sigmoid(matmul(xg, att["g1"])), att["g2"])
+
+    kk = _l2_normalize_heads(k * att["k_k"], H, N)
+    k = k * (1 + (a - 1) * att["k_a"])
+    kka = kk * a
+
+    # layer 0 captures v_first; later layers blend toward it (rwkv7.py:636-637)
+    v_gate = jax.nn.sigmoid(matmul(matmul(xv, att["v1"]), att["v2"]) + att["v0"])
+    v_first_new = jnp.where(layer_is_first, v, v_first)
+    v = jnp.where(layer_is_first, v, v + (v_first - v) * v_gate)
+
+    y, wkv_new = wkv_fn(wkv_state, r, w_raw, k, v, -kk, kka, elapsed, lengths)
+    y = y.astype(x.dtype)
+
+    y = group_norm(y, H, att["ln_x_w"], att["ln_x_b"], eps=64e-5)
+    bonus = (r * k * att["r_k"].reshape(C)).reshape(B, T, H, N).sum(-1, keepdims=True)
+    y = y + (bonus * v.reshape(B, T, H, N)).reshape(B, T, C)
+    out = matmul(y * g, att["Wo"])
+
+    new_shift = _masked_last(x, lengths, shift_prev)
+    return out, new_shift, v_first_new, wkv_new
+
+
+def _cmix(ffn, x, shift_prev, lengths):
+    """Channel-mix FFN with relu^2. Reference: RWKV_x070_CMix_seq_batch
+    (Albatross/rwkv7.py:674-679)."""
+    xx = jnp.concatenate([shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
+    kx = x + xx * ffn["x_k"]
+    kk = jnp.square(jax.nn.relu(matmul(kx, ffn["Wk"])))
+    out = matmul(kk, ffn["Wv"])
+    new_shift = _masked_last(x, lengths, shift_prev)
+    return out, new_shift
+
+
+def _backbone(params, x, state: RWKVState, lengths, wkv_fn):
+    """Run all layers via lax.scan over stacked block weights; returns final hidden
+    and the new per-layer states."""
+    L = state.wkv.shape[0]
+    blocks = params["blocks"]
+
+    def layer_step(carry, inp):
+        xc, v_first = carry
+        blk, shift_l, wkv_l, li = inp
+        is_first = (li == 0)
+        xn = layer_norm(xc, blk["ln1_w"], blk["ln1_b"])
+        att_out, att_shift, v_first, wkv_new = _tmix(
+            blk["att"], is_first, xn, shift_l[0], v_first, wkv_l,
+            state.elapsed, lengths, wkv_fn)
+        xc = xc + att_out
+        xn = layer_norm(xc, blk["ln2_w"], blk["ln2_b"])
+        ffn_out, ffn_shift = _cmix(blk["ffn"], xn, shift_l[1], lengths)
+        xc = xc + ffn_out
+        new_shift = jnp.stack([att_shift, ffn_shift])
+        return (xc, v_first), (new_shift, wkv_new)
+
+    v_first0 = jnp.zeros_like(x)
+    (x_out, _), (new_shift, new_wkv) = jax.lax.scan(
+        layer_step, (x, v_first0),
+        (blocks, state.shift, state.wkv, jnp.arange(L, dtype=jnp.int32)))
+    return x_out, new_shift, new_wkv
+
+
+def _embed(params, tokens, dtype):
+    emb = params["emb"]
+    return emb[jnp.clip(tokens, 0, emb.shape[0] - 1)].astype(dtype)
+
+
+def _default_wkv_fn(wkv_state, r, w_raw, k, v, a, b, elapsed, lengths):
+    return wkv7_ops.wkv7_reference_batch(
+        wkv_state, r, w_raw, k, v, a, b, elapsed, lengths=lengths)
+
+
+def forward_chunk(params, tokens, state: RWKVState, lengths=None, *,
+                  wkv_fn: Optional[Callable] = None,
+                  compute_dtype=jnp.float32) -> RWKVState:
+    """Prefill a chunk: advance state over tokens (B, T); no logits computed
+    (the head matmul is skipped — the last prompt token always goes through
+    forward_step, mirroring the reference's one-prefill phase, worker.py:447-476).
+
+    lengths: (B,) int32 valid token counts per row (rows may be ragged/inactive)."""
+    wkv_fn = wkv_fn or _default_wkv_fn
+    x = _embed(params, tokens, compute_dtype)
+    _, new_shift, new_wkv = _backbone(params, x, state, lengths, wkv_fn)
+    T = tokens.shape[1]
+    n_tok = jnp.full_like(state.elapsed, T) if lengths is None else lengths
+    return RWKVState(shift=new_shift, wkv=new_wkv, elapsed=state.elapsed + n_tok)
+
+
+def forward_step(params, tokens, state: RWKVState, active=None, *,
+                 wkv_fn: Optional[Callable] = None, compute_dtype=jnp.float32):
+    """One-token step for the whole batch: tokens (B,) -> logits (B, V) fp32.
+
+    active: optional (B,) bool; inactive rows keep their state and yield garbage
+    logits (the scheduler masks them). Reference: forward_seq_batch with T=1
+    (worker.py:671-742)."""
+    wkv_fn = wkv_fn or _default_wkv_fn
+    B = tokens.shape[0]
+    lengths = None if active is None else active.astype(jnp.int32)
+    x = _embed(params, tokens[:, None], compute_dtype)
+    x_out, new_shift, new_wkv = _backbone(params, x, state, lengths, wkv_fn)
+    xh = layer_norm(x_out[:, 0], params["ln_out_w"], params["ln_out_b"])
+    logits = matmul(xh, params["head"]).astype(jnp.float32)
+    n_tok = jnp.ones_like(state.elapsed) if lengths is None else lengths
+    new_state = RWKVState(shift=new_shift, wkv=new_wkv, elapsed=state.elapsed + n_tok)
+    return logits, new_state
+
+
+def forward_seq(params, tokens, state: RWKVState, *, full_output=False,
+                wkv_fn: Optional[Callable] = None, compute_dtype=jnp.float32):
+    """Whole-sequence forward with logits — the eval/oracle path
+    (reference forward_seq_batch, rwkv7.py:352-382)."""
+    wkv_fn = wkv_fn or _default_wkv_fn
+    x = _embed(params, tokens, compute_dtype)
+    x_out, new_shift, new_wkv = _backbone(params, x, state, None, wkv_fn)
+    if not full_output:
+        x_out = x_out[:, -1:, :]
+    xh = layer_norm(x_out, params["ln_out_w"], params["ln_out_b"])
+    logits = matmul(xh, params["head"]).astype(jnp.float32)
+    if not full_output:
+        logits = logits[:, 0]
+    T = tokens.shape[1]
+    new_state = RWKVState(shift=new_shift, wkv=new_wkv,
+                          elapsed=state.elapsed + jnp.int32(T))
+    return logits, new_state

@@ -1,0 +1,124 @@
+"""mm8 — INT8 weight-only quantized matmul (the "w8a16" scheme of the RWKV ecosystem).
+
+Quantization scheme (bit-compatible with the rwkv pip package convention that the
+reference engine benchmarks and specifies in
+/root/reference/scripts/test_mm8/benchmark.py:54-85):
+
+    # per-column mins/ranges mx,rx over axis 0; per-row my,ry over axis 1
+    w_norm = (w - my - mx) / rx / ry          in [0, 1]
+    q_u8   = clip(floor(w_norm * 256), 0, 255)
+    stored scales: rx/16, ry/16  (so dequant (q+0.5)*(rx/16)*(ry/16) folds the /256)
+    dequant: W_hat = (q_u8 + 0.5) * ry * rx + my + mx
+
+Matmul uses the decomposed dequantization (reference benchmark.py:167-193): with
+xs = x * ry,
+
+    y = rx * (xs @ q + 0.5 * sum(xs)) + sum(x * my) + mx * sum(x)
+
+so the inner GEMM runs directly on the int8 weight (converted in-register on TPU) and
+the O(K)+O(M) corrections are cheap fused vector ops — HBM traffic is the int8 weight
+read, i.e. ~2x less than bf16 weights.
+
+Storage note: TPU kernels prefer signed int8; we store q_i8 = q_u8 - 128 and fold the
+shift into the correction constant (0.5 -> 128.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Mm8Weight:
+    """INT8 weight for `x @ W`, W logically (K, M)."""
+
+    q: Any   # (K, M) int8, value = round-to-floor u8 code - 128
+    mx: Any  # (M,) f32 per-column offset
+    rx: Any  # (M,) f32 per-column scale (stored /16, format-compatible)
+    my: Any  # (K,) f32 per-row offset
+    ry: Any  # (K,) f32 per-row scale (stored /16)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):  # for duck-typing where callers peek at weight dtype
+        return jnp.int8
+
+
+def quantize(w) -> Mm8Weight:
+    """Quantize a dense (K, M) matrix. Min/max factor order follows the reference
+    (rows>cols does my,mx,rx,ry; else mx,my,rx,ry — benchmark.py:60-77)."""
+    w = jnp.asarray(w, jnp.float32)
+    if w.shape[0] > w.shape[1]:
+        my = jnp.min(w, axis=1, keepdims=True)
+        w = w - my
+        mx = jnp.min(w, axis=0, keepdims=True)
+        w = w - mx
+        rx = jnp.max(w, axis=0, keepdims=True)
+        w = w / rx
+        ry = jnp.max(w, axis=1, keepdims=True)
+        w = w / ry
+    else:
+        mx = jnp.min(w, axis=0, keepdims=True)
+        w = w - mx
+        my = jnp.min(w, axis=1, keepdims=True)
+        w = w - my
+        rx = jnp.max(w, axis=0, keepdims=True)
+        w = w / rx
+        ry = jnp.max(w, axis=1, keepdims=True)
+        w = w / ry
+    q_u8 = jnp.clip(jnp.floor(w * 256.0), 0, 255)
+    q_i8 = (q_u8 - 128).astype(jnp.int8)
+    return Mm8Weight(
+        q=q_i8,
+        mx=mx.reshape(-1),
+        rx=(rx / 16.0).reshape(-1),
+        my=my.reshape(-1),
+        ry=(ry / 16.0).reshape(-1),
+    )
+
+
+def dequantize(w: Mm8Weight):
+    """Reference dequant W_hat = (q_u8 + 0.5) * ry*rx + my + mx (fp32, for tests)."""
+    q_u8 = w.q.astype(jnp.float32) + 128.0
+    return (q_u8 + 0.5) * (w.ry[:, None] * 16.0) * (w.rx[None, :] * 16.0) / 256.0 \
+        + w.my[:, None] + w.mx[None, :]
+
+
+def _int8_core_xla(xs, q):
+    """(B?, K) @ (K, M) int8 via XLA convert-fused dot, f32 accumulation."""
+    return jnp.dot(xs, q.astype(xs.dtype), preferred_element_type=jnp.float32)
+
+
+def mm8_matmul(x, w: Mm8Weight, *, core=None):
+    """Decomposed-dequant matmul. x: (..., K) float; returns (..., M) in x.dtype.
+
+    `core` overrides the inner int8 GEMM (e.g. the Pallas kernel); defaults to the
+    XLA path which fuses the int8->bf16 convert into the MXU dot.
+    """
+    if core is None:
+        core = _int8_core_xla
+    in_dtype = x.dtype
+    K = x.shape[-1]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    xf = x2.astype(jnp.float32)
+    ry = w.ry * 16.0
+    rx = w.rx * 16.0
+    xs_f = xf * ry[None, :]
+    xs = xs_f.astype(in_dtype if in_dtype != jnp.float32 else jnp.float32)
+    core_out = core(xs, w.q)  # (B, M) f32 ; codes are q_u8 - 128
+    xs_sum = jnp.sum(xs_f, axis=-1, keepdims=True)
+    x_sum = jnp.sum(xf, axis=-1, keepdims=True)
+    xmy_sum = jnp.sum(xf * w.my[None, :], axis=-1, keepdims=True)
+    # (q_i8 + 128.5) = (q_u8 + 0.5): fold the int8 shift into the rank-1 correction
+    y = (rx[None, :] / 256.0) * (core_out + 128.5 * xs_sum) + xmy_sum \
+        + w.mx[None, :] * x_sum
+    return y.reshape(lead + (w.q.shape[1],)).astype(in_dtype)

@@ -1,0 +1,100 @@
+"""Batched sampling, rwkv-pip-compatible (JAX, fully on device).
+
+Algorithm order mirrors the reference's serving sampler
+(/root/reference/chirrup/utils/samplers.py:171-255, itself a batched reproduction of
+the rwkv pip package's PIPELINE.sample_logits):
+
+  1. temperature == 0  ->  temperature = 1, top_p = 0 (greedy mode)
+  2. probs = softmax(logits)            (NO pre-temperature scaling)
+  3. top-p by cutoff VALUE: the prob at the first position where the sorted cumsum
+     reaches top_p; everything below that value is zeroed
+  4. top-k by sorted position, scattered back to vocab order
+  5. probs = probs ** (1/T)             (temperature applied AFTER filtering)
+  6. renormalize + categorical draw
+
+Sampling uses the Gumbel-max trick on log-probs, which is exactly a multinomial draw
+but stays fused on device (no cumsum+uniform inversion).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sample_logits_rwkv_pip_compatible(logits, temperature, top_p, top_k, rng_key):
+    """logits: (B, V) f32; temperature/top_p: (B,) f32; top_k: (B,) int32.
+
+    Returns (B,) int32 sampled token ids.
+    """
+    B, V = logits.shape
+    logits = logits.astype(jnp.float32)
+    temperature = temperature.reshape(B, 1).astype(jnp.float32)
+    top_p = top_p.reshape(B, 1).astype(jnp.float32)
+    top_k = top_k.reshape(B, 1).astype(jnp.int32)
+
+    # temp=0 => greedy via top_p=0 (reference :193-197)
+    zero_temp = temperature == 0.0
+    temperature = jnp.where(zero_temp, 1.0, temperature)
+    top_p = jnp.where(zero_temp, 0.0, top_p)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    sorted_probs, sorted_idx = jax.lax.sort_key_val(
+        -probs, jax.lax.broadcasted_iota(jnp.int32, (B, V), 1), dimension=-1)
+    sorted_probs = -sorted_probs
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+
+    # first position where cum >= top_p  (torch.searchsorted semantics, :211)
+    cutoff_pos = jnp.sum((cum < top_p).astype(jnp.int32), axis=-1, keepdims=True)
+    cutoff_pos = jnp.clip(cutoff_pos, 0, V - 1)
+    cutoff_val = jnp.take_along_axis(sorted_probs, cutoff_pos, axis=-1)
+    probs = jnp.where(probs < cutoff_val, 0.0, probs)
+
+    # top-k in sorted space, scattered back to vocab order (:224-240)
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    eff_k = jnp.where(top_k > 0, top_k, V)
+    outside_sorted = ranks >= eff_k
+    outside = jnp.zeros((B, V), bool)
+    outside = jnp.put_along_axis(outside, sorted_idx, outside_sorted, axis=-1,
+                                 inplace=False)
+    probs = jnp.where(outside, 0.0, probs)
+
+    # post-filter temperature (:242-250), then categorical via Gumbel-max
+    logp = jnp.where(probs > 0, jnp.log(probs) / temperature, -jnp.inf)
+    gumbel = jax.random.gumbel(rng_key, (B, V), jnp.float32)
+    return jnp.argmax(logp + gumbel, axis=-1).astype(jnp.int32)
+
+
+def apply_penalties(logits, occurrence, presence_vec, frequency_penalty):
+    """logits -= presence_vec + occurrence * frequency_penalty
+    (reference worker.py:724-728). Shapes: logits/occurrence/presence (B, V),
+    frequency_penalty (B,)."""
+    return logits - (presence_vec + occurrence * frequency_penalty[:, None])
+
+
+def record_sampled_token(occurrence, presence_vec, tokens, presence_penalty,
+                         update_mask):
+    """Record a freshly sampled token into the penalty state
+    (reference worker.py:527-547):
+
+      occurrence[b, tokens[b]] += 1   where update_mask (no-penalty tokens excluded)
+      presence_vec[b, tokens[b]] = presence_penalty[b]  where update_mask
+
+    NOTE the reference ordering: occurrence decays at forward time (before the logit
+    subtraction, worker.py:724) and the sampled token is added afterwards — so a new
+    token is decayed once before it first penalizes. Callers must do
+    `occurrence * penalty_decay` themselves before apply_penalties.
+
+    Shapes: occurrence/presence_vec (B, V); tokens (B,) int32; presence_penalty (B,);
+    update_mask (B,) bool.
+    """
+    B, V = occurrence.shape
+    onehot = jax.nn.one_hot(tokens, V, dtype=occurrence.dtype) \
+        * update_mask[:, None].astype(occurrence.dtype)
+    occurrence = occurrence + onehot
+    presence_vec = jnp.where(onehot > 0, presence_penalty[:, None], presence_vec)
+    return occurrence, presence_vec

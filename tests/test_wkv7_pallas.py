@@ -1,0 +1,85 @@
+"""Pallas WKV7 kernel vs the lax.scan reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chirrup_tpu.ops.wkv7 import wkv7_reference_batch, HEAD_SIZE
+from chirrup_tpu.ops.wkv7_pallas import wkv7_pallas_batch
+
+
+def _rand_inputs(rng, B, T, H, state_dtype=jnp.float32, in_dtype=jnp.float32):
+    C = H * HEAD_SIZE
+    N = HEAD_SIZE
+
+    def r(*s, scale=0.5):
+        return jnp.asarray(rng.standard_normal(s) * scale, in_dtype)
+
+    state = jnp.asarray(rng.standard_normal((B, N, C)) * 0.3, state_dtype)
+    rr, ww, kk, vv = r(B, T, C), r(B, T, C), r(B, T, C), r(B, T, C)
+    # a = -kk_norm, b = kk_norm * iclr with |kk_norm| = 1 per head
+    kkn = rng.standard_normal((B, T, H, N))
+    kkn = kkn / np.linalg.norm(kkn, axis=-1, keepdims=True)
+    iclr = 1 / (1 + np.exp(-rng.standard_normal((B, T, C))))
+    aa = jnp.asarray(-kkn.reshape(B, T, C), in_dtype)
+    bb = jnp.asarray(kkn.reshape(B, T, C) * iclr, in_dtype)
+    elapsed = jnp.asarray(rng.integers(0, 1000, (B,)), jnp.int32)
+    return state, rr, ww, kk, vv, aa, bb, elapsed
+
+
+@pytest.mark.parametrize("B,T,H", [(1, 1, 2), (3, 1, 2), (2, 7, 2), (2, 16, 4)])
+def test_pallas_matches_reference(rng, B, T, H):
+    state, r, w, k, v, a, b, elapsed = _rand_inputs(rng, B, T, H)
+    y_ref, s_ref = wkv7_reference_batch(state, r, w, k, v, a, b, elapsed)
+    y_pl, s_pl = wkv7_pallas_batch(state, r, w, k, v, a, b, elapsed, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_ragged_lengths(rng):
+    B, T, H = 3, 8, 2
+    state, r, w, k, v, a, b, elapsed = _rand_inputs(rng, B, T, H)
+    lengths = jnp.asarray([8, 3, 0], jnp.int32)
+    y_ref, s_ref = wkv7_reference_batch(state, r, w, k, v, a, b, elapsed,
+                                        lengths=lengths)
+    y_pl, s_pl = wkv7_pallas_batch(state, r, w, k, v, a, b, elapsed,
+                                   lengths=lengths, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
+    # masked row's state untouched, masked outputs zero
+    np.testing.assert_array_equal(np.asarray(s_pl[2]), np.asarray(state[2]))
+    assert np.all(np.asarray(y_pl[1, 3:]) == 0)
+
+
+def test_pallas_fp16_state(rng):
+    """fp16-stored state: kernel computes fp32 internally, rounds on writeback."""
+    B, T, H = 2, 4, 2
+    state, r, w, k, v, a, b, elapsed = _rand_inputs(rng, B, T, H,
+                                                    state_dtype=jnp.float16)
+    y_ref, s_ref = wkv7_reference_batch(state, r, w, k, v, a, b, elapsed)
+    y_pl, s_pl = wkv7_pallas_batch(state, r, w, k, v, a, b, elapsed, interpret=True)
+    assert s_pl.dtype == jnp.float16
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s_pl, np.float32),
+                               np.asarray(s_ref, np.float32), rtol=2e-3, atol=2e-3)
+
+
+def test_dither_changes_with_elapsed(rng):
+    """The dither must key off the elapsed counter (long-sequence fp16 stabilizer,
+    reference cuda kernel :59)."""
+    B, T, H = 1, 1, 2
+    state, r, w, k, v, a, b, _ = _rand_inputs(rng, B, T, H)
+    y0, _ = wkv7_pallas_batch(state, r, w, k, v, a, b,
+                              jnp.asarray([0], jnp.int32), interpret=True)
+    y1, _ = wkv7_pallas_batch(state, r, w, k, v, a, b,
+                              jnp.asarray([12345], jnp.int32), interpret=True)
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+    # and without dither, elapsed must not matter
+    y2, _ = wkv7_pallas_batch(state, r, w, k, v, a, b,
+                              jnp.asarray([0], jnp.int32), use_dither=False,
+                              interpret=True)
+    y3, _ = wkv7_pallas_batch(state, r, w, k, v, a, b,
+                              jnp.asarray([999], jnp.int32), use_dither=False,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y3))
