@@ -1,0 +1,88 @@
+"""mm8 INT8 weight-only quantization tests (scheme parity with reference
+scripts/test_mm8/benchmark.py:54-85, 167-193)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from chirrup_tpu.ops.mm8 import quantize, dequantize, mm8_matmul
+from chirrup_tpu.ops.linear import matmul
+
+
+def _quantize_np(w):
+    """Independent numpy reproduction of the rwkv-pip quantization for testing."""
+    w = w.astype(np.float64).copy()
+    if w.shape[0] > w.shape[1]:
+        my = w.min(1, keepdims=True); w -= my
+        mx = w.min(0, keepdims=True); w -= mx
+        rx = w.max(0, keepdims=True); w /= rx
+        ry = w.max(1, keepdims=True); w /= ry
+    else:
+        mx = w.min(0, keepdims=True); w -= mx
+        my = w.min(1, keepdims=True); w -= my
+        rx = w.max(0, keepdims=True); w /= rx
+        ry = w.max(1, keepdims=True); w /= ry
+    q = np.clip(np.floor(w * 256), 0, 255).astype(np.uint8)
+    return q, mx.ravel(), rx.ravel(), my.ravel(), ry.ravel()
+
+
+def test_quantize_codes_match_reference_scheme(rng):
+    w = rng.standard_normal((96, 256)).astype(np.float32)
+    mq = quantize(w)
+    q_np, mx, rx, my, ry = _quantize_np(w.astype(np.float32))
+    got_u8 = np.asarray(mq.q, np.int32) + 128
+    # floor() at the 1/256 bin edges is fp-sensitive; allow off-by-one on <1% of codes
+    diff = np.abs(got_u8 - q_np.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+    np.testing.assert_allclose(np.asarray(mq.mx), mx, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mq.rx) * 16, rx, rtol=1e-5, atol=1e-6)
+
+
+def test_dequantize_roundtrip_error(rng):
+    w = rng.standard_normal((128, 512)).astype(np.float32)
+    mq = quantize(w)
+    w_hat = np.asarray(dequantize(mq))
+    # one quant bin is (rx*ry)/256; max error should be ~half a bin
+    bin_size = (np.asarray(mq.rx) * 16)[None, :] * (np.asarray(mq.ry) * 16)[:, None] / 256
+    assert np.all(np.abs(w_hat - w) <= 0.51 * bin_size + 1e-6)
+    rel_l2 = np.linalg.norm(w_hat - w) / np.linalg.norm(w)
+    assert rel_l2 < 8e-3
+
+
+def test_mm8_matmul_decomposed_equals_dequant(rng):
+    """y = x @ W_hat must equal the decomposed form (reference benchmark.py:167-193)."""
+    w = rng.standard_normal((128, 384)).astype(np.float32)
+    x = rng.standard_normal((4, 128)).astype(np.float32)
+    mq = quantize(w)
+    y_direct = np.asarray(x @ np.asarray(dequantize(mq)))
+    y_mm8 = np.asarray(mm8_matmul(jnp.asarray(x), mq))
+    np.testing.assert_allclose(y_mm8, y_direct, rtol=2e-4, atol=2e-4)
+
+
+def test_mm8_vs_fp32_accuracy(rng):
+    w = rng.standard_normal((256, 512)).astype(np.float32)
+    x = (rng.standard_normal((8, 256)) * 0.5).astype(np.float32)
+    y32 = x @ w
+    y8 = np.asarray(mm8_matmul(jnp.asarray(x), quantize(w)))
+    cos = (y32 * y8).sum() / (np.linalg.norm(y32) * np.linalg.norm(y8))
+    assert cos > 0.9995
+    rel = np.linalg.norm(y8 - y32) / np.linalg.norm(y32)
+    assert rel < 0.02
+
+
+def test_linear_dispatch(rng):
+    w = rng.standard_normal((64, 96)).astype(np.float32)
+    x = rng.standard_normal((2, 64)).astype(np.float32)
+    dense = np.asarray(matmul(jnp.asarray(x), jnp.asarray(w)))
+    quant = np.asarray(matmul(jnp.asarray(x), quantize(w)))
+    np.testing.assert_allclose(dense, np.asarray(x) @ w, rtol=1e-5, atol=1e-5)
+    assert np.abs(quant - dense).max() < 0.5  # int8-level agreement
+
+
+def test_mm8_3d_input(rng):
+    w = rng.standard_normal((64, 128)).astype(np.float32)
+    x = rng.standard_normal((2, 3, 64)).astype(np.float32)
+    y = np.asarray(mm8_matmul(jnp.asarray(x), quantize(w)))
+    assert y.shape == (2, 3, 128)
+    y2d = np.asarray(mm8_matmul(jnp.asarray(x.reshape(6, 64)), quantize(w)))
+    np.testing.assert_allclose(y.reshape(6, 128), y2d, rtol=1e-6)
