@@ -1,0 +1,315 @@
+"""ServingModel — the jitted device-side half of the continuous-batching engine.
+
+The reference worker mutates GPU tensors imperatively (slot swaps, in-place penalty
+scatters, per-slot state copies — chirrup/worker.py:304-669). Here the whole batch
+lives in one functional `BatchCarry` pytree threaded through three jitted programs
+with donated buffers, so XLA updates everything in place without host round-trips:
+
+  decode_step:  one token for every active slot (decode + one-by-one prefill),
+                penalties, rwkv-pip-compatible sampling — the hot program.
+  prefill_step: a fixed-size token chunk with per-slot valid lengths; inactive slots
+                have length 0 and are untouched (mask-based, vs the reference's
+                physical re-batching to the min remaining length).
+  insert/reset/extract_slot: per-request state entry/exit (new request, finished
+                request, prefix-cache snapshot).
+
+Shapes never depend on occupancy, so each program compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chirrup_tpu.models.config import RWKV7Config, RuntimeConfig
+from chirrup_tpu.models import rwkv7 as model
+from chirrup_tpu.models.rwkv7 import RWKVState
+from chirrup_tpu.ops import mm8
+from chirrup_tpu.ops import wkv7 as wkv7_ref
+from chirrup_tpu.ops import wkv7_pallas
+from chirrup_tpu.ops.sampling import (
+    sample_logits_rwkv_pip_compatible, record_sampled_token)
+from chirrup_tpu.engine.structures import NO_PENALTY_TOKEN_IDS, RequestState
+
+MAX_FORBIDDEN_TOKENS = 8
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BatchCarry:
+    """All per-slot device state of one worker batch."""
+
+    state: RWKVState        # shift (L,2,B,C), wkv (L,B,N,HN), elapsed (B,)
+    occurrence: Any         # (B, V) f32
+    presence_vec: Any       # (B, V) f32
+    temperature: Any        # (B,) f32
+    top_p: Any              # (B,) f32
+    top_k: Any              # (B,) i32
+    frequency_penalty: Any  # (B,) f32
+    presence_penalty: Any   # (B,) f32
+    penalty_decay: Any      # (B,) f32
+    forbidden: Any          # (B, MAX_FORBIDDEN_TOKENS) i32, -1 padded
+    rng: Any                # jax PRNG key
+
+
+def _quantize_params(params):
+    """INT8-quantize the big matmul weights (att R/K/V/O, ffn K/V, head), keeping
+    embeddings, norms, and the small LoRA projections dense — the mm8 scope of the
+    reference (scripts/test_mm8, SURVEY §2.1 K7)."""
+    blocks = dict(params["blocks"])
+    att = dict(blocks["att"])
+    ffn = dict(blocks["ffn"])
+
+    def q_stacked(w):
+        # (L, K, M) -> per-layer Mm8Weight stacked via vmap-compatible tree
+        qs = [mm8.quantize(w[i]) for i in range(w.shape[0])]
+        return mm8.Mm8Weight(
+            q=jnp.stack([x.q for x in qs]),
+            mx=jnp.stack([x.mx for x in qs]),
+            rx=jnp.stack([x.rx for x in qs]),
+            my=jnp.stack([x.my for x in qs]),
+            ry=jnp.stack([x.ry for x in qs]),
+        )
+
+    for k in ("Wr", "Wk", "Wv", "Wo"):
+        att[k] = q_stacked(att[k])
+    for k in ("Wk", "Wv"):
+        ffn[k] = q_stacked(ffn[k])
+    blocks["att"] = att
+    blocks["ffn"] = ffn
+    out = dict(params)
+    out["blocks"] = blocks
+    out["head"] = mm8.quantize(params["head"])
+    return out
+
+
+def _cast_params(params, dtype):
+    """Cast dense float weights to the activation dtype. Mm8Weight subtrees pass
+    through untouched (int8 codes + f32 scales)."""
+    def cast(x):
+        if isinstance(x, mm8.Mm8Weight):
+            return x
+        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(
+        cast, params, is_leaf=lambda x: isinstance(x, mm8.Mm8Weight))
+
+
+class ServingModel:
+    """Owns prepared parameters and the jitted step programs for one worker."""
+
+    def __init__(self, config: RWKV7Config, params, runtime: RuntimeConfig,
+                 batch_size: int, prefill_chunk: int = 64, *,
+                 interpret_pallas: bool = False, seed: int = 0):
+        self.config = config
+        self.runtime = runtime
+        self.batch_size = batch_size
+        self.prefill_chunk = prefill_chunk
+        self._interpret = interpret_pallas
+
+        if runtime.quantization == "int8":
+            params = _quantize_params(params)
+        self.params = _cast_params(params, runtime.activation_dtype)
+
+        if runtime.use_pallas_wkv:
+            def wkv_fn(s, r, w, k, v, a, b, e, lengths):
+                return wkv7_pallas.wkv7_pallas_batch(
+                    s, r, w, k, v, a, b, e, lengths=lengths,
+                    use_dither=runtime.use_dither, interpret=interpret_pallas)
+        else:
+            def wkv_fn(s, r, w, k, v, a, b, e, lengths):
+                return wkv7_ref.wkv7_reference_batch(
+                    s, r, w, k, v, a, b, e, use_dither=runtime.use_dither,
+                    lengths=lengths)
+        self._wkv_fn = wkv_fn
+
+        self._no_penalty_ids = jnp.asarray(sorted(NO_PENALTY_TOKEN_IDS), jnp.int32)
+        self._seed = seed
+
+        self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(0,))
+        self._prefill_step = jax.jit(self._prefill_step_impl, donate_argnums=(0,))
+        self._insert_slot = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
+        self._reset_slot = jax.jit(self._reset_slot_impl, donate_argnums=(0,))
+        self._extract_slot = jax.jit(self._extract_slot_impl)
+
+    # ------------------------------------------------------------------ carry
+
+    def init_carry(self) -> BatchCarry:
+        cfg, rt, B = self.config, self.runtime, self.batch_size
+        V = cfg.vocab_size
+        state = model.init_state(cfg, B, shift_dtype=rt.activation_dtype,
+                                 wkv_dtype=rt.wkv_state_dtype)
+        f32 = jnp.float32
+        return BatchCarry(
+            state=state,
+            occurrence=jnp.zeros((B, V), f32),
+            presence_vec=jnp.zeros((B, V), f32),
+            temperature=jnp.ones((B,), f32),
+            top_p=jnp.ones((B,), f32),
+            top_k=jnp.zeros((B,), jnp.int32),
+            frequency_penalty=jnp.zeros((B,), f32),
+            presence_penalty=jnp.zeros((B,), f32),
+            penalty_decay=jnp.ones((B,), f32),
+            forbidden=jnp.full((B, MAX_FORBIDDEN_TOKENS), -1, jnp.int32),
+            rng=jax.random.key(self._seed),
+        )
+
+    # ------------------------------------------------------------ step programs
+
+    def _decode_step_impl(self, carry: BatchCarry, tokens, active_mask, decode_mask):
+        """One token step over the whole batch.
+
+        tokens: (B,) int32 input token per slot (garbage where inactive).
+        active_mask: slots whose state advances (decode + one-by-one prefill).
+        decode_mask: subset that gets penalties + sampling (reference worker
+        _run_forward_one semantics, worker.py:671-742).
+
+        Returns (carry, sampled (B,) int32 [-1 where not decoding], raw_logits
+        (B, V) f32 pre-penalty — for return_logits / eval harnesses).
+        """
+        logits, new_state = model.forward_step(
+            self.params, tokens, carry.state, active=active_mask,
+            wkv_fn=self._wkv_fn, compute_dtype=self.runtime.activation_dtype)
+        raw_logits = logits  # pre-penalty (reference worker.py:714-716)
+
+        # occurrence decays at forward time, decode slots only (worker.py:723-728)
+        occurrence = jnp.where(decode_mask[:, None],
+                               carry.occurrence * carry.penalty_decay[:, None],
+                               carry.occurrence)
+        adj = logits - (carry.presence_vec
+                        + occurrence * carry.frequency_penalty[:, None])
+        # forbidden tokens -> -1e10 (reference worker.py:719-722); unrolled so no
+        # (B, MAX_FORBIDDEN, V) intermediate ever materializes
+        vocab_iota = jax.lax.broadcasted_iota(jnp.int32, adj.shape, 1)
+        for i in range(MAX_FORBIDDEN_TOKENS):
+            adj = jnp.where(vocab_iota == carry.forbidden[:, i:i + 1], adj - 1e10, adj)
+
+        rng, key = jax.random.split(carry.rng)
+        sampled = sample_logits_rwkv_pip_compatible(
+            adj, carry.temperature, carry.top_p, carry.top_k, key)
+        sampled = jnp.where(decode_mask, sampled, -1)
+
+        # record into penalty state (next step's decay applies first; worker.py:527)
+        is_no_penalty = (sampled[:, None] == self._no_penalty_ids[None, :]).any(-1)
+        upd_mask = decode_mask & ~is_no_penalty
+        occurrence, presence_vec = record_sampled_token(
+            occurrence, carry.presence_vec, jnp.maximum(sampled, 0),
+            carry.presence_penalty, upd_mask)
+
+        carry = dataclasses.replace(
+            carry, state=new_state, occurrence=occurrence,
+            presence_vec=presence_vec, rng=rng)
+        return carry, sampled, raw_logits
+
+    def _prefill_step_impl(self, carry: BatchCarry, tokens, lengths):
+        """Advance prefilling slots by up to `prefill_chunk` tokens each.
+
+        tokens: (B, T) int32; lengths: (B,) int32 with 0 for non-prefill slots.
+        No logits are computed (the final prompt token always goes through
+        decode_step, mirroring the reference's one-prefill phase)."""
+        new_state = model.forward_chunk(
+            self.params, tokens, carry.state, lengths, wkv_fn=self._wkv_fn,
+            compute_dtype=self.runtime.activation_dtype)
+        return dataclasses.replace(carry, state=new_state)
+
+    def _insert_slot_impl(self, carry: BatchCarry, slot, shift, wkv, elapsed,
+                          temperature, top_p, top_k, frequency_penalty,
+                          presence_penalty, penalty_decay, forbidden):
+        """Load one request into a slot (reference _fill_task_pool,
+        worker.py:570-669). shift: (L,2,C); wkv: (L,N,HN); scalars per sampling
+        param; forbidden: (MAX_FORBIDDEN_TOKENS,) int32."""
+        st = carry.state
+        new_shift = jax.lax.dynamic_update_slice(
+            st.shift, shift[:, :, None, :].astype(st.shift.dtype), (0, 0, slot, 0))
+        new_wkv = jax.lax.dynamic_update_slice(
+            st.wkv, wkv[:, None].astype(st.wkv.dtype), (0, slot, 0, 0))
+        new_elapsed = carry.state.elapsed.at[slot].set(elapsed)
+        B = carry.occurrence.shape[0]
+        onehot = (jnp.arange(B) == slot)
+
+        def set_row(vec, val):
+            return jnp.where(onehot, val, vec)
+
+        return dataclasses.replace(
+            carry,
+            state=RWKVState(shift=new_shift, wkv=new_wkv, elapsed=new_elapsed),
+            occurrence=jnp.where(onehot[:, None], 0.0, carry.occurrence),
+            presence_vec=jnp.where(onehot[:, None], 0.0, carry.presence_vec),
+            temperature=set_row(carry.temperature, temperature),
+            top_p=set_row(carry.top_p, top_p),
+            top_k=jnp.where(onehot, top_k, carry.top_k),
+            frequency_penalty=set_row(carry.frequency_penalty, frequency_penalty),
+            presence_penalty=set_row(carry.presence_penalty, presence_penalty),
+            penalty_decay=set_row(carry.penalty_decay, penalty_decay),
+            forbidden=jnp.where(onehot[:, None], forbidden[None, :], carry.forbidden),
+        )
+
+    def _reset_slot_impl(self, carry: BatchCarry, slot):
+        """Zero a slot's state after task completion."""
+        cfg = self.config
+        zero_shift = jnp.zeros((cfg.n_layer, 2, cfg.n_embd), carry.state.shift.dtype)
+        zero_wkv = jnp.zeros((cfg.n_layer, cfg.head_size, cfg.n_embd),
+                             carry.state.wkv.dtype)
+        return self._insert_slot_impl(
+            carry, slot, zero_shift, zero_wkv, jnp.int32(0),
+            jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(1.0),
+            jnp.full((MAX_FORBIDDEN_TOKENS,), -1, jnp.int32))
+
+    def _extract_slot_impl(self, carry: BatchCarry, slot):
+        st = carry.state
+        shift = jax.lax.dynamic_slice(
+            st.shift, (0, 0, slot, 0),
+            (st.shift.shape[0], 2, 1, st.shift.shape[3]))[:, :, 0]
+        wkv = jax.lax.dynamic_slice(
+            st.wkv, (0, slot, 0, 0),
+            (st.wkv.shape[0], 1, st.wkv.shape[2], st.wkv.shape[3]))[:, 0]
+        return shift, wkv, st.elapsed[slot]
+
+    # ------------------------------------------------------------- public API
+
+    def decode_step(self, carry, tokens, active_mask, decode_mask):
+        return self._decode_step(carry, tokens, active_mask, decode_mask)
+
+    def prefill_step(self, carry, tokens, lengths):
+        return self._prefill_step(carry, tokens, lengths)
+
+    def insert_slot(self, carry, slot: int, request_state: Optional[RequestState],
+                    task) -> BatchCarry:
+        cfg = self.config
+        if request_state is None:
+            shift = np.zeros((cfg.n_layer, 2, cfg.n_embd), np.float32)
+            wkv = np.zeros((cfg.n_layer, cfg.head_size, cfg.n_embd), np.float32)
+            elapsed = 0
+        else:
+            shift, wkv, elapsed = (request_state.shift, request_state.wkv,
+                                   request_state.elapsed)
+        forb = np.full((MAX_FORBIDDEN_TOKENS,), -1, np.int32)
+        ft = list(task.forbidden_tokens)[:MAX_FORBIDDEN_TOKENS]
+        forb[:len(ft)] = ft
+        # reference maps temperature<=0 to 1.0 at slot load (worker.py:612) and the
+        # sampler's zero-temp greedy handles the rest; we keep the raw value since
+        # the sampler implements the zero-temp contract itself
+        return self._insert_slot(
+            carry, slot, jnp.asarray(shift), jnp.asarray(wkv),
+            jnp.int32(elapsed), jnp.float32(task.temperature),
+            jnp.float32(task.top_p), jnp.int32(task.top_k),
+            jnp.float32(task.frequency_penalty), jnp.float32(task.presence_penalty),
+            jnp.float32(task.penalty_decay), jnp.asarray(forb))
+
+    def reset_slot(self, carry, slot: int) -> BatchCarry:
+        return self._reset_slot(carry, slot)
+
+    def extract_slot(self, carry, slot: int) -> RequestState:
+        shift, wkv, elapsed = self._extract_slot(carry, slot)
+        return RequestState(
+            shift=np.asarray(jax.device_get(shift), np.float32),
+            wkv=np.asarray(jax.device_get(wkv), np.float32),
+            elapsed=int(elapsed))

@@ -1,0 +1,205 @@
+"""Server-side prefix state cache: token trie + LRU over host state snapshots.
+
+RWKV-7's recurrent state is O(1) in sequence length, so caching the state after a
+prompt prefix makes any request sharing that prefix skip its prefill entirely — the
+RWKV analogue of prefix KV-cache reuse. Semantics follow the reference
+(/root/reference/chirrup/utils/state_cache.py:10-215):
+
+- check(tokens) walks the trie and returns the deepest cached prefix strictly shorter
+  than the query (generation always needs >=1 token to forward);
+- check_and_wait_prefill() additionally deduplicates concurrent identical prefills:
+  the first request claims the path (installs an asyncio.Condition), followers
+  suspend until the leader's snapshot lands, then resume from the cache;
+- cache() refcounts trie nodes so LRU eviction prunes exactly the branch that no
+  remaining entry depends on.
+
+Snapshots are host numpy RequestStates (device transfer is the worker's job), so
+cache capacity is bounded by host RAM, not HBM.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple
+
+from chirrup_tpu.engine.structures import RequestState
+
+
+class _TrieNode:
+    __slots__ = ("children", "has_state", "refcount", "prefill_condition")
+
+    def __init__(self):
+        self.children: Dict[int, _TrieNode] = {}
+        self.has_state = False
+        self.refcount = 0
+        self.prefill_condition: Optional[asyncio.Condition] = None
+
+
+class PrefixStateCache:
+    def __init__(self, max_size: int = 100):
+        if max_size <= 0:
+            raise ValueError("max_size must be positive")
+        self.max_size = max_size
+        self.root = _TrieNode()
+        self._lru: "OrderedDict[Tuple[int, ...], RequestState]" = OrderedDict()
+        self.prefill_lock = asyncio.Lock()
+
+    # ------------------------------------------------------------------ stats
+
+    def __len__(self) -> int:
+        return len(self._lru)
+
+    def total_bytes(self) -> int:
+        return sum(s.nbytes() for s in self._lru.values())
+
+    # ------------------------------------------------------------------ check
+
+    def check(self, tokens: List[int], return_trie_node: bool = False):
+        """Longest cached proper prefix of `tokens`.
+
+        Returns (remaining_tokens, state_or_None, cached_len[, deepest_node])."""
+        node = self.root
+        best = 0
+        i = 0
+        while i < len(tokens):
+            if node.has_state:
+                best = i
+            child = node.children.get(tokens[i])
+            if child is None or (child.refcount == 0 and not child.prefill_condition):
+                break
+            node = child
+            i += 1
+
+        key = tuple(tokens[:best])
+        state = self._lru_get(key)
+        if state is None:
+            best = 0
+            state = None
+            remaining = tokens
+        else:
+            remaining = tokens[best:]
+        if return_trie_node:
+            return remaining, state, best, node
+        return remaining, state, best
+
+    async def check_and_wait_prefill(self, tokens: List[int],
+                                     cache_prefill_padding: int):
+        """check() + dedup of concurrent identical prefills
+        (reference state_cache.py:85-124)."""
+        async with self.prefill_lock:
+            remaining, state, cached_len, node = self.check(tokens,
+                                                            return_trie_node=True)
+            if cached_len + cache_prefill_padding == len(tokens):
+                return remaining, state, cached_len  # nothing left to prefill
+
+            # claim (or find) the node at the cacheable boundary
+            boundary = tokens[cached_len:len(tokens) - cache_prefill_padding] \
+                if cache_prefill_padding > 0 else tokens[cached_len:]
+            for token in boundary:
+                child = node.children.get(token)
+                if child is None:
+                    child = _TrieNode()
+                    node.children[token] = child
+                node = child
+            if node.prefill_condition is None:
+                node.prefill_condition = asyncio.Condition()
+                return remaining, state, cached_len  # we are the leader
+
+        # follower: wait for the leader's snapshot
+        async with node.prefill_condition:
+            await node.prefill_condition.wait()
+        if node.has_state:
+            key = tuple(tokens[:len(tokens) - cache_prefill_padding]) \
+                if cache_prefill_padding > 0 else tuple(tokens)
+            cached = self._lru_get(key)
+            if cached is not None:
+                return (tokens[len(tokens) - cache_prefill_padding:],
+                        cached, len(tokens) - cache_prefill_padding)
+        return remaining, state, cached_len  # leader failed; prefill ourselves
+
+    async def awake_hang_up_prefills(self, node: _TrieNode) -> bool:
+        """Wake followers waiting on a just-cached prefix
+        (reference state_cache.py:126-136)."""
+        if node is None or node.prefill_condition is None:
+            return False
+        async with node.prefill_condition:
+            node.prefill_condition.notify_all()
+        node.prefill_condition = None
+        return True
+
+    # ------------------------------------------------------------------ cache
+
+    def cache(self, tokens, state: RequestState, return_trie_node: bool = False):
+        """Insert a snapshot; evict LRU (pruning its now-unreferenced branch)."""
+        tokens = tuple(tokens)
+        if not tokens:
+            return None
+
+        if tokens in self._lru:
+            self._lru.move_to_end(tokens)
+            self._lru[tokens] = state
+            node = self._find(tokens)
+        else:
+            node = self.root
+            self.root.refcount += 1
+            for token in tokens:
+                child = node.children.get(token)
+                if child is None:
+                    child = _TrieNode()
+                    node.children[token] = child
+                child.refcount += 1
+                node = child
+            node.has_state = True
+            self._lru[tokens] = state
+            if len(self._lru) > self.max_size:
+                old_key, _old_state = self._lru.popitem(last=False)
+                self._remove_path(old_key)
+
+        if return_trie_node:
+            return node
+        return None
+
+    def remove(self, tokens) -> bool:
+        tokens = tuple(tokens)
+        if tokens not in self._lru:
+            return False
+        del self._lru[tokens]
+        self._remove_path(tokens)
+        return True
+
+    # ---------------------------------------------------------------- private
+
+    def _lru_get(self, key: Tuple[int, ...]) -> Optional[RequestState]:
+        state = self._lru.get(key)
+        if state is not None:
+            self._lru.move_to_end(key)
+        return state
+
+    def _find(self, tokens) -> Optional[_TrieNode]:
+        node = self.root
+        for t in tokens:
+            node = node.children.get(t)
+            if node is None:
+                return None
+        return node
+
+    def _remove_path(self, tokens: Tuple[int, ...]):
+        self.root.refcount -= 1
+        node = self.root
+        path = []
+        for t in tokens:
+            child = node.children.get(t)
+            if child is None:
+                return
+            path.append((node, t, child))
+            child.refcount -= 1
+            node = child
+        node.has_state = False
+        # prune from the leaf up: a node with refcount 0 serves no remaining entry
+        for parent, token, child in reversed(path):
+            if child.refcount <= 0 and not child.children \
+                    and not child.prefill_condition:
+                del parent.children[token]
+            else:
+                break

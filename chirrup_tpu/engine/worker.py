@@ -1,0 +1,359 @@
+"""Continuous-batching worker: one thread driving one device (group).
+
+Behavioral port of the reference scheduler (/root/reference/chirrup/worker.py:107-903)
+re-designed for XLA:
+
+- slots are never physically reordered: the reference's min-swap slot compaction
+  (worker.py:43-78, 304-383) exists so CUDA kernels see contiguous category slices;
+  here the jitted decode/prefill programs take boolean masks over a fixed-size batch,
+  so a slot's position never changes and nothing is copied;
+- every loop runs at most one decode_step (all decode + one-by-one-prefill slots)
+  and, on a 1:N countdown, one prefill_step (all bulk-prefill slots, per-slot ragged
+  lengths) — the same decode/prefill interleave policy as the reference
+  (worker.py:846-856) without its min-length re-batching;
+- per-request lifecycle, prefix-cache snapshot points, penalty semantics, stop/abort
+  handling and telemetry match the reference event-for-event.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import queue
+import threading
+import time
+from collections import deque
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+
+from chirrup_tpu.engine.structures import (
+    RequestStatus, Task, RequestState)
+from chirrup_tpu.engine.serving import ServingModel
+from chirrup_tpu.utils.tokenizer import WorldTokenizer, StreamingDecoder
+
+
+class SlotPhase(enum.IntEnum):
+    EMPTY = 0
+    SEQ_PREFILL = 1   # bulk chunked prefill (reference FORWARD_SEQ)
+    ONE_PREFILL = 2   # token-by-token tail prefill (reference FORWARD_ONE_PREFILL)
+    DECODE = 3        # sampling (reference FORWARD_ONE_DECODE)
+    FINISHED = 4
+
+
+@dataclasses.dataclass
+class SlotData:
+    task: Optional[Task] = None
+    phase: SlotPhase = SlotPhase.EMPTY
+    next_input: Optional[int] = None
+    prefilled_tokens: List[int] = dataclasses.field(default_factory=list)
+    prefill_cached: bool = False
+    decoder: Optional[StreamingDecoder] = None
+
+    def pad(self) -> int:
+        return max(self.task.cache_prefill_padding - 1, 0) if self.task else 0
+
+
+class Worker:
+    """Runs the continuous-batching loop in its own thread."""
+
+    def __init__(self, worker_id: str,
+                 model_factory: Callable[[], Tuple[ServingModel, WorldTokenizer]],
+                 task_queue: "queue.Queue[Task]",
+                 master_event_queue: queue.Queue,
+                 worker_event_queue: Any,
+                 batch_size: int = 32,
+                 min_forward_seq_len: int = 10,
+                 decode_prefill_ratio: int = 5,
+                 idle_sleep: float = 0.05):
+        self.worker_id = worker_id
+        self._model_factory = model_factory
+        self.task_queue = task_queue
+        self.master_event_queue = master_event_queue
+        self.worker_event_queue = worker_event_queue
+
+        self.batch_size = batch_size
+        self.max_prefill_count = max(int(batch_size * 0.125), 1)
+        self.min_forward_seq_len = min_forward_seq_len
+        self.decode_prefill_ratio = decode_prefill_ratio
+        self.idle_sleep = idle_sleep
+
+        self.slots: List[SlotData] = [SlotData() for _ in range(batch_size)]
+        self.model: Optional[ServingModel] = None
+        self.tokenizer: Optional[WorldTokenizer] = None
+        self.carry = None
+
+        self.shutdown_flag = False
+        self._seq_countdown = 0
+        self._loop_times: deque = deque(maxlen=10)
+        self.loop_count = 0
+
+    # ------------------------------------------------------------------ setup
+
+    def _init_worker(self):
+        self.model, self.tokenizer = self._model_factory()
+        self.carry = self.model.init_carry()
+        self._emit_worker_event("worker_loaded", {
+            "status": "success",
+            "worker_id": self.worker_id,
+            "batch_size": self.batch_size,
+        })
+
+    def _emit_worker_event(self, kind: str, payload: Dict):
+        if self.worker_event_queue is not None:
+            try:
+                self.worker_event_queue.put_nowait((self.worker_id, kind, payload))
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------- lifecycle
+
+    def _process_master_events(self) -> bool:
+        while True:
+            try:
+                event = self.master_event_queue.get_nowait()
+            except queue.Empty:
+                return False
+            if isinstance(event, dict) and event.get("type") == "shutdown":
+                self.shutdown_flag = True
+                return True
+
+    @staticmethod
+    def _is_aborted(task: Task) -> bool:
+        try:
+            event_type, _ = task.task_event_queue.get_nowait()
+            return event_type == "abort"
+        except queue.Empty:
+            return False
+
+    def _finish_slot(self, idx: int):
+        slot = self.slots[idx]
+        task = slot.task
+        task.output_queue.put_nowait(("task_completed", task))
+        self.carry = self.model.reset_slot(self.carry, idx)
+        self.slots[idx] = SlotData()
+
+    def _snapshot_slot(self, idx: int):
+        """Prefix-cache snapshot: device state -> host RequestState -> event
+        (reference worker.py:407-476)."""
+        slot = self.slots[idx]
+        state = self.model.extract_slot(self.carry, idx)
+        slot.task.output_queue.put_nowait(("cache_prefill", {
+            "state": state,
+            "prefilled_tokens": tuple(slot.prefilled_tokens),
+        }))
+        slot.prefill_cached = True
+
+    def _maybe_snapshot(self, idx: int):
+        slot = self.slots[idx]
+        task = slot.task
+        if (task.cache_prefill and not slot.prefill_cached
+                and len(task.prefill_tokens) == slot.pad()):
+            self._snapshot_slot(idx)
+
+    # ------------------------------------------------------------------ fill
+
+    def _fill_slots(self):
+        """Admit queued tasks into empty slots (reference _fill_task_pool,
+        worker.py:570-669). New admissions + in-flight bulk prefills are capped at
+        max_prefill_count so prefill never starves decode."""
+        prefill_count = sum(1 for s in self.slots if s.phase == SlotPhase.SEQ_PREFILL)
+        for idx, slot in enumerate(self.slots):
+            if prefill_count >= self.max_prefill_count:
+                break
+            if slot.phase != SlotPhase.EMPTY:
+                continue
+            try:
+                task: Task = self.task_queue.get_nowait()
+            except queue.Empty:
+                break
+            prefill_count += 1
+
+            self.carry = self.model.insert_slot(self.carry, idx, task.state, task)
+            task.request_status = RequestStatus.RUNNING
+
+            next_input = task.prefill_tokens.pop(0)
+            pad = max(task.cache_prefill_padding - 1, 0)
+            if len(task.prefill_tokens) == 0:
+                phase = SlotPhase.DECODE
+            elif len(task.prefill_tokens) - pad < self.min_forward_seq_len:
+                phase = SlotPhase.ONE_PREFILL
+            else:
+                phase = SlotPhase.SEQ_PREFILL
+
+            self.slots[idx] = SlotData(
+                task=task, phase=phase, next_input=next_input,
+                decoder=StreamingDecoder(self.tokenizer))
+
+    # ----------------------------------------------------------- transitions
+
+    def _check_seq_transitions(self):
+        """SEQ -> ONE/DECODE transitions + snapshot triggers (reference
+        _handle_forward_seq, worker.py:407-445)."""
+        for idx, slot in enumerate(self.slots):
+            if slot.phase != SlotPhase.SEQ_PREFILL:
+                continue
+            task = slot.task
+            if task.cache_prefill and len(task.prefill_tokens) == slot.pad():
+                slot.phase = SlotPhase.ONE_PREFILL
+                self._maybe_snapshot(idx)
+                continue
+            if len(task.prefill_tokens) == 0:
+                slot.phase = SlotPhase.DECODE
+            elif len(task.prefill_tokens) < self.min_forward_seq_len:
+                slot.phase = SlotPhase.ONE_PREFILL
+
+    # ---------------------------------------------------------------- forward
+
+    def _run_decode_step(self):
+        """One token for every DECODE + ONE_PREFILL slot."""
+        B = self.batch_size
+        tokens = np.zeros((B,), np.int32)
+        active = np.zeros((B,), bool)
+        decode = np.zeros((B,), bool)
+        for idx, slot in enumerate(self.slots):
+            if slot.phase in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL):
+                active[idx] = True
+                tokens[idx] = slot.next_input
+                decode[idx] = slot.phase == SlotPhase.DECODE
+
+        self.carry, sampled, raw_logits = self.model.decode_step(
+            self.carry, tokens, active, decode)
+        sampled_np = np.asarray(jax.device_get(sampled))
+
+        for idx, slot in enumerate(self.slots):
+            if not active[idx]:
+                continue
+            task = slot.task
+            if slot.phase == SlotPhase.ONE_PREFILL:
+                # the token we just fed is now part of the prefix
+                slot.prefilled_tokens.append(slot.next_input)
+                slot.next_input = task.prefill_tokens.pop(0)
+                if len(task.prefill_tokens) == 0:
+                    slot.phase = SlotPhase.DECODE
+                self._maybe_snapshot(idx)
+                continue
+
+            new_token = int(sampled_np[idx])
+            if new_token in task.stop_tokens:
+                task.request_status = RequestStatus.FINISHED_STOPPED
+                continue
+            new_text = slot.decoder.push(new_token)
+            task.generated_tokens.append(new_token)
+            task.decoded_texts.append(new_text)
+            if task.return_logits:
+                logits_row = np.asarray(jax.device_get(raw_logits[idx]), np.float32)
+                task.output_queue.put_nowait(
+                    ("token_generated", (new_token, new_text, logits_row)))
+            else:
+                task.output_queue.put_nowait(("token_generated", (new_token, new_text)))
+            if task.max_tokens is not None \
+                    and len(task.generated_tokens) >= task.max_tokens:
+                task.request_status = RequestStatus.FINISHED_LENGTH_CAPPED
+                continue
+            slot.next_input = new_token
+        return int(active.sum()), int(decode.sum())
+
+    def _run_prefill_step(self):
+        """One ragged chunk for every SEQ_PREFILL slot (reference _run_forward_seq,
+        worker.py:744-776, without the global min-length coupling)."""
+        B, T = self.batch_size, self.model.prefill_chunk
+        tokens = np.zeros((B, T), np.int32)
+        lengths = np.zeros((B,), np.int32)
+        fed: Dict[int, List[int]] = {}
+        for idx, slot in enumerate(self.slots):
+            if slot.phase != SlotPhase.SEQ_PREFILL:
+                continue
+            task = slot.task
+            # leave pad()+1 tokens for the ONE_PREFILL/decode tail
+            avail = len(task.prefill_tokens) - slot.pad()
+            n = min(T, avail)
+            if n <= 0:
+                continue
+            chunk = [slot.next_input] + task.prefill_tokens[:n - 1]
+            task.prefill_tokens = task.prefill_tokens[n - 1:]
+            slot.next_input = task.prefill_tokens.pop(0)
+            slot.prefilled_tokens.extend(chunk)
+            tokens[idx, :n] = chunk
+            lengths[idx] = n
+            fed[idx] = chunk
+        if not fed:
+            return 0
+        self.carry = self.model.prefill_step(self.carry, tokens, lengths)
+        return len(fed)
+
+    # ------------------------------------------------------------------- loop
+
+    def run_once(self) -> bool:
+        """One scheduler iteration; returns True if any forward work was done."""
+        loop_start = time.perf_counter()
+        self.loop_count += 1
+
+        # aborts + completions
+        finished: List[int] = []
+        for idx, slot in enumerate(self.slots):
+            if slot.phase == SlotPhase.EMPTY:
+                continue
+            if self._is_aborted(slot.task):
+                slot.task.request_status = RequestStatus.FINISHED_ABORTED
+            if slot.task.is_finished():
+                finished.append(idx)
+        for idx in finished:
+            self._finish_slot(idx)
+
+        self._fill_slots()
+        self._check_seq_transitions()
+
+        n_active = sum(1 for s in self.slots
+                       if s.phase in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL))
+        n_seq = sum(1 for s in self.slots if s.phase == SlotPhase.SEQ_PREFILL)
+        if n_active == 0 and n_seq == 0:
+            return False
+
+        decode_count = one_prefill_count = seq_count = 0
+        if n_active > 0:
+            total, decode_count = self._run_decode_step()
+            one_prefill_count = total - decode_count
+            self._seq_countdown -= 1
+        else:
+            self._seq_countdown = 0
+
+        if self._seq_countdown < 1 and n_seq > 0:
+            seq_count = self._run_prefill_step()
+            self._seq_countdown = max(1, self.decode_prefill_ratio)
+
+        self._loop_times.append(time.perf_counter() - loop_start)
+        self._emit_worker_event("worker_performance", {
+            "avg_loop_time": sum(self._loop_times) / len(self._loop_times),
+            "state_size": self.batch_size,
+            "task_details": {
+                "decode_count": decode_count,
+                "one_prefill_count": one_prefill_count,
+                "seq_prefill_count": seq_count,
+            },
+            "loop_count": self.loop_count,
+        })
+        return True
+
+    def start(self):
+        if self.model is None:
+            self._init_worker()
+        while True:
+            if self._process_master_events():
+                break
+            did_work = self.run_once()
+            if not did_work:
+                time.sleep(self.idle_sleep)
+        self._cleanup()
+
+    def _cleanup(self):
+        self.carry = None
+        self.model = None
+
+
+def start_worker_thread(worker: Worker) -> threading.Thread:
+    t = threading.Thread(target=worker.start, daemon=True,
+                         name=f"chirrup_tpu:{worker.worker_id}")
+    t.start()
+    return t

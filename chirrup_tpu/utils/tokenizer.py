@@ -134,7 +134,10 @@ class StreamingDecoder:
         self._dec = codecs.getincrementaldecoder("utf-8")(errors="replace")
 
     def push(self, token: int) -> str:
-        return self._dec.decode(self._tok.idx2token[token], final=False)
+        data = self._tok.idx2token.get(token)
+        if data is None:
+            return ""  # id not in vocab (padded head rows): emit nothing
+        return self._dec.decode(data, final=False)
 
     def flush(self) -> str:
         return self._dec.decode(b"", final=True)

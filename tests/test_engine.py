@@ -1,0 +1,217 @@
+"""End-to-end engine tests: init, streaming completion, greedy correctness vs the
+raw model, abort, stop tokens, max_tokens, cache_prefill snapshots, concurrency."""
+
+import asyncio
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from chirrup_tpu.engine.engine import AsyncEngineCore
+from chirrup_tpu.engine.structures import RequestStatus
+
+from tests.engine_fixtures import write_tiny_vocab, synthetic_model_config
+
+
+@pytest.fixture(scope="module")
+def vocab_path(tmp_path_factory):
+    return write_tiny_vocab(str(tmp_path_factory.mktemp("vocab") / "vocab.txt"))
+
+
+def _run(coro):
+    return asyncio.run(asyncio.wait_for(coro, timeout=240))
+
+
+@pytest.fixture(scope="module")
+def engine_setup(vocab_path):
+    """One engine shared by this module's tests (loads the model once)."""
+    loop = asyncio.new_event_loop()
+    engine = AsyncEngineCore()
+    cfg = synthetic_model_config(vocab_path)
+    loop.run_until_complete(
+        asyncio.wait_for(engine.init(worker_num=1, model_config=cfg, batch_size=4,
+                                     load_timeout=180), timeout=200))
+    yield loop, engine
+    engine.shutdown()
+    engine.join(timeout=10)
+    loop.close()
+
+
+def test_basic_completion(engine_setup):
+    loop, engine = engine_setup
+
+    async def go():
+        completion = engine.completion(
+            "hello world", temperature=0.0, max_tokens=6,
+            presence_penalty=0.0, frequency_penalty=0.0,
+            stop_tokens=[0])
+        tokens = []
+        async for event in completion:
+            if event[0] == "token":
+                tokens.append(event[1])
+                assert isinstance(event[2], str)
+        return tokens, completion.task
+
+    tokens, task = loop.run_until_complete(asyncio.wait_for(go(), 120))
+    assert 1 <= len(tokens) <= 6
+    if len(tokens) == 6:
+        assert task.request_status == RequestStatus.FINISHED_LENGTH_CAPPED
+
+
+def test_greedy_matches_raw_model(engine_setup, vocab_path):
+    """The engine's full path (prefill chunks + one-prefill + decode + penalties off)
+    must reproduce raw-model greedy decoding exactly."""
+    loop, engine = engine_setup
+
+    prompt = "hello world the User says hello to the Assistant and then some"
+
+    async def go():
+        completion = engine.completion(
+            prompt, temperature=0.0, max_tokens=5,
+            presence_penalty=0.0, frequency_penalty=0.0, stop_tokens=[0])
+        out = []
+        async for event in completion:
+            if event[0] == "token":
+                out.append(event[1])
+        return out
+
+    engine_tokens = loop.run_until_complete(asyncio.wait_for(go(), 120))
+
+    # raw-model greedy reference
+    from chirrup_tpu.models.config import RWKV7Config
+    from chirrup_tpu.models.loader import synthetic_params
+    from chirrup_tpu.models import rwkv7 as m
+    from tests.engine_fixtures import VOCAB_SIZE
+
+    cfg = RWKV7Config(n_layer=2, n_embd=128, vocab_size=VOCAB_SIZE,
+                      d_decay_lora=32, d_iclr_lora=32, d_v_lora=16, d_gate_lora=32)
+    params = synthetic_params(cfg, seed=0)  # engine worker 0 uses seed 0
+    ids = engine.tokenizer.encode(prompt)
+    state = m.init_state(cfg, 1)
+    if len(ids) > 1:
+        state = m.forward_chunk(params, jnp.asarray([ids[:-1]], jnp.int32), state)
+    cur = ids[-1]
+    expected = []
+    for _ in range(5):
+        logits, state = m.forward_step(params, jnp.asarray([cur], jnp.int32), state)
+        cur = int(jnp.argmax(logits[0]))
+        if cur == 0:
+            break
+        expected.append(cur)
+    assert engine_tokens == expected
+
+
+def test_concurrent_completions(engine_setup):
+    loop, engine = engine_setup
+
+    async def go():
+        comps = [
+            engine.completion(f"hello world {i}", temperature=1.0, top_p=0.8,
+                              max_tokens=4 + i, stop_tokens=[0],
+                              presence_penalty=0.3, frequency_penalty=0.3)
+            for i in range(6)  # more than batch_size=4: exercises queueing
+        ]
+        texts = await asyncio.gather(*[c.get_full_completion() for c in comps])
+        return comps, texts
+
+    comps, texts = loop.run_until_complete(asyncio.wait_for(go(), 180))
+    for i, c in enumerate(comps):
+        assert c.task.is_finished()
+        assert len(c.task.generated_tokens) <= 4 + i
+
+
+def test_abort(engine_setup):
+    loop, engine = engine_setup
+
+    async def go():
+        completion = engine.completion(
+            "hello", temperature=1.0, max_tokens=10_000, stop_tokens=[0],
+            presence_penalty=0.0, frequency_penalty=0.0)
+        n = 0
+        async for event in completion:
+            if event[0] == "token":
+                n += 1
+                if n == 2:
+                    completion.abort()
+        return n, completion.task
+
+    n, task = loop.run_until_complete(asyncio.wait_for(go(), 120))
+    assert task.request_status == RequestStatus.FINISHED_ABORTED
+    assert n >= 2
+
+
+def test_stop_tokens_immediate(engine_setup):
+    loop, engine = engine_setup
+
+    async def go():
+        # every possible token is a stop token -> finishes without emitting any
+        completion = engine.completion(
+            "hello world", temperature=1.0, max_tokens=50,
+            stop_tokens=list(range(300)),
+            presence_penalty=0.0, frequency_penalty=0.0)
+        toks = [e async for e in completion if e[0] == "token"]
+        return toks, completion.task
+
+    toks, task = loop.run_until_complete(asyncio.wait_for(go(), 120))
+    assert toks == []
+    assert task.request_status == RequestStatus.FINISHED_STOPPED
+
+
+def test_cache_prefill_event(engine_setup):
+    loop, engine = engine_setup
+    prompt = "hello world the User likes to say hello hello hello to the world"
+
+    async def go():
+        ids = engine.tokenizer.encode(prompt)
+        completion = engine.completion(
+            prompt, prefill_tokens=list(ids), temperature=0.0, max_tokens=3,
+            stop_tokens=[0], cache_prefill=True, cache_prefill_padding=3,
+            presence_penalty=0.0, frequency_penalty=0.0)
+        snapshot = None
+        async for event in completion:
+            if event[0] == "cache_prefill":
+                snapshot = event[1]
+        return ids, snapshot
+
+    ids, snapshot = loop.run_until_complete(asyncio.wait_for(go(), 120))
+    assert snapshot is not None
+    assert list(snapshot["prefilled_tokens"]) == ids[:-3]
+    st = snapshot["state"]
+    assert st.shift.shape == (2, 2, 128)
+    assert st.wkv.shape == (2, 64, 128)
+    assert st.elapsed == len(ids) - 3
+    assert np.isfinite(st.wkv).all()
+
+
+def test_resume_from_state(engine_setup):
+    """A request resuming from a cached state must match an uncached request
+    (greedy)."""
+    loop, engine = engine_setup
+    prompt = "hello world the Assistant says hello world again and again ok"
+
+    async def go():
+        ids = engine.tokenizer.encode(prompt)
+        c1 = engine.completion(prompt, prefill_tokens=list(ids), temperature=0.0,
+                               max_tokens=4, stop_tokens=[0], cache_prefill=True,
+                               cache_prefill_padding=3,
+                               presence_penalty=0.0, frequency_penalty=0.0)
+        snapshot, toks1 = None, []
+        async for event in c1:
+            if event[0] == "cache_prefill":
+                snapshot = event[1]
+            elif event[0] == "token":
+                toks1.append(event[1])
+
+        # resume: feed only the last 3 tokens on top of the snapshot state
+        c2 = engine.completion(prompt, prefill_tokens=list(ids[-3:]),
+                               state=snapshot["state"], temperature=0.0,
+                               max_tokens=4, stop_tokens=[0],
+                               presence_penalty=0.0, frequency_penalty=0.0)
+        toks2 = []
+        async for event in c2:
+            if event[0] == "token":
+                toks2.append(event[1])
+        return toks1, toks2
+
+    toks1, toks2 = loop.run_until_complete(asyncio.wait_for(go(), 120))
+    assert toks1 == toks2

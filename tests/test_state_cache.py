@@ -1,0 +1,124 @@
+"""Prefix state cache: trie walk, LRU eviction with branch pruning, prefill dedup."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from chirrup_tpu.engine.state_cache import PrefixStateCache
+from chirrup_tpu.engine.structures import RequestState
+
+
+def _state(tag: int) -> RequestState:
+    return RequestState(shift=np.full((1, 2, 4), tag, np.float32),
+                        wkv=np.full((1, 4, 8), tag, np.float32), elapsed=tag)
+
+
+def test_check_walk_semantics():
+    """Mirrors the reference's doctest scenario (state_cache.py:218-235)."""
+    c = PrefixStateCache(max_size=3)
+    c.cache([1, 2, 3, 4], _state(1))
+    c.cache([1, 2, 3, 4, 5, 6, 7], _state(2))
+    c.cache([1, 2, 3, 6, 5, 6, 7, 8], _state(3))
+
+    rem, st, n = c.check([1, 2, 3, 4])
+    assert (rem, st, n) == ([1, 2, 3, 4], None, 0)  # full match is never returned
+    rem, st, n = c.check([1, 2, 3, 4, 5])
+    assert rem == [5] and st.elapsed == 1 and n == 4
+    rem, st, n = c.check([1, 2, 3, 4, 5, 6, 7])
+    assert rem == [5, 6, 7] and st.elapsed == 1
+    rem, st, n = c.check([1, 2, 3, 4, 5, 6, 7, 8])
+    assert rem == [8] and st.elapsed == 2
+    rem, st, n = c.check([1, 2, 3, 6, 5])
+    assert rem == [1, 2, 3, 6, 5] and st is None
+    rem, st, n = c.check([1, 2, 3, 6, 5, 6, 7, 8, 9])
+    assert rem == [9] and st.elapsed == 3
+
+
+def test_lru_eviction_prunes_branch():
+    c = PrefixStateCache(max_size=2)
+    c.cache([1, 2, 3], _state(1))
+    c.cache([9, 8], _state(2))
+    c.cache([5, 5, 5], _state(3))  # evicts [1,2,3]
+    rem, st, n = c.check([1, 2, 3, 4])
+    assert st is None
+    assert 1 not in c.root.children  # branch pruned
+    rem, st, n = c.check([9, 8, 7])
+    assert st.elapsed == 2
+    assert len(c) == 2
+
+
+def test_eviction_keeps_shared_prefix():
+    c = PrefixStateCache(max_size=2)
+    c.cache([1, 2], _state(1))
+    c.cache([1, 2, 3, 4], _state(2))
+    c.cache([7], _state(3))  # evicts [1,2] — but [1,2,3,4] passes through it
+    rem, st, n = c.check([1, 2, 9])
+    assert st is None  # [1,2] itself no longer cached
+    rem, st, n = c.check([1, 2, 3, 4, 5])
+    assert st.elapsed == 2  # deeper entry survives
+
+
+def test_remove():
+    c = PrefixStateCache(max_size=5)
+    c.cache([1, 2, 3], _state(1))
+    assert c.remove([1, 2, 3])
+    assert not c.remove([1, 2, 3])
+    assert c.check([1, 2, 3, 4])[1] is None
+    assert not c.root.children
+
+
+def test_total_bytes():
+    c = PrefixStateCache(max_size=5)
+    c.cache([1], _state(1))
+    assert c.total_bytes() == _state(1).nbytes()
+
+
+def test_prefill_dedup():
+    """Leader claims; follower suspends; cache+wake resumes the follower with the
+    leader's state (reference state_cache.py:85-136)."""
+
+    async def go():
+        c = PrefixStateCache(max_size=5)
+        tokens = [1, 2, 3, 4, 5, 6]
+        pad = 2
+
+        # leader claims
+        rem, st, n = await c.check_and_wait_prefill(tokens, pad)
+        assert st is None and rem == tokens
+
+        results = {}
+
+        async def follower():
+            results["follower"] = await c.check_and_wait_prefill(list(tokens), pad)
+
+        ftask = asyncio.create_task(follower())
+        await asyncio.sleep(0.05)
+        assert not ftask.done()  # suspended on the leader's condition
+
+        # leader's prefill lands
+        node = c.cache(tokens[:-pad], _state(9), return_trie_node=True)
+        await c.awake_hang_up_prefills(node)
+        await asyncio.wait_for(ftask, timeout=5)
+
+        rem2, st2, n2 = results["follower"]
+        assert rem2 == tokens[-pad:]
+        assert st2.elapsed == 9
+        assert n2 == len(tokens) - pad
+
+        # third request (after caching): plain hit, no waiting
+        rem3, st3, n3 = await c.check_and_wait_prefill(list(tokens), pad)
+        assert rem3 == tokens[-pad:] and st3.elapsed == 9
+
+    asyncio.run(asyncio.wait_for(go(), timeout=20))
+
+
+def test_prefill_full_hit_short_circuits():
+    async def go():
+        c = PrefixStateCache(max_size=5)
+        tokens = [4, 5, 6, 7]
+        c.cache(tokens[:-1], _state(1))
+        rem, st, n = await c.check_and_wait_prefill(tokens, 1)
+        assert rem == [7] and st.elapsed == 1 and n == 3
+
+    asyncio.run(asyncio.wait_for(go(), timeout=10))
