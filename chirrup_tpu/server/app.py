@@ -1,0 +1,483 @@
+"""OpenAI-compatible HTTP server on aiohttp.
+
+Endpoint surface and behavior match the reference FastAPI app
+(/root/reference/chirrup/web_service/app.py): /health, /v1/models,
+/v1/chat/completions (SSE streaming with 10 s keep-alive comments, think-tag routing
+into delta.reasoning_content, prefix state-cache integration with prefill dedup),
+/v1/batch/translate, /v1/batch/rollout, OpenAI-style error JSON. aiohttp replaces
+FastAPI/uvicorn (not available in this image); handlers are plain asyncio.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import traceback
+import uuid
+from typing import Any, Dict, List, Optional
+
+from aiohttp import web
+from pydantic import ValidationError
+
+from chirrup_tpu.engine.engine import AsyncEngineCore, build_model_factory
+from chirrup_tpu.engine.state_cache import PrefixStateCache
+from chirrup_tpu.engine.structures import DEFAULT_STOP_TOKENS, ModelLoadConfig
+from chirrup_tpu.engine.interface import AsyncEngineCompletion
+from chirrup_tpu.server.api_models import (
+    ChatCompletionRequest, ChatCompletionResponse, ChatCompletionResponseChoice,
+    ChatCompletionResponseUsage, ChatCompletionStreamChoice,
+    ChatCompletionStreamResponse, ChatMessage, ModelInfo, ModelsResponse,
+    RolloutRequest, RolloutStreamChoice, RolloutStreamResponse, TranslateRequest,
+    TranslateResponse, TranslationResult)
+from chirrup_tpu.server.config import ServerConfig
+from chirrup_tpu.utils.prompt_formatters import (
+    format_no_thinking, format_quick_thinking, format_with_thinking)
+from chirrup_tpu.utils.streaming_parser import (
+    StreamingStringParser, TRIE_THINK_NO_TRIGGER)
+
+KEEPALIVE_SECONDS = 10.0
+
+_LANG_NAMES = {
+    "zh-CN": "Chinese", "zh-TW": "Chinese", "en": "English", "ja": "Japanese",
+    "fr": "French", "de": "German", "es": "Spanish", "ru": "Russian",
+}
+
+
+def _error_json(message: str, err_type: str, code: Optional[int] = None) -> Dict:
+    err: Dict[str, Any] = {"message": message, "type": err_type}
+    if code is not None:
+        err["code"] = code
+    return {"error": err}
+
+
+@web.middleware
+async def cors_and_errors_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        resp = web.Response()
+    else:
+        try:
+            resp = await handler(request)
+        except web.HTTPException as exc:
+            resp = web.json_response(
+                _error_json(exc.reason or exc.text or "", "invalid_request_error",
+                            exc.status),
+                status=exc.status)
+        except ValidationError as exc:
+            resp = web.json_response(
+                _error_json(str(exc), "invalid_request_error", 422), status=422)
+        except json.JSONDecodeError as exc:
+            resp = web.json_response(
+                _error_json(f"invalid JSON body: {exc}", "invalid_request_error",
+                            400), status=400)
+        except Exception as exc:  # noqa: BLE001 — OpenAI-style error envelope
+            traceback.print_exc()
+            resp = web.json_response(
+                _error_json(str(exc), "internal_server_error", 500), status=500)
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "*"
+    resp.headers["Access-Control-Allow-Headers"] = "*"
+    return resp
+
+
+def _select_template(model_name: str):
+    """model suffix -> (formatter, cache_prefill_padding)
+    (reference app.py:152-161)."""
+    parts = model_name.split(":")
+    if "thinking" in parts:
+        return format_with_thinking, 3
+    if "no-thinking" in parts:
+        return format_no_thinking, 0
+    return format_quick_thinking, 7
+
+
+async def handle_health(request: web.Request) -> web.Response:
+    return web.json_response({
+        "status": "healthy",
+        "timestamp": int(time.time()),
+        "model_loaded": request.app.get("engine") is not None,
+    })
+
+
+async def handle_models(request: web.Request) -> web.Response:
+    return web.json_response(
+        ModelsResponse(data=request.app["model_list"]).model_dump())
+
+
+async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
+    app = request.app
+    engine: AsyncEngineCore = app["engine"]
+    state_cache: PrefixStateCache = app["state_cache"]
+    config: ServerConfig = app["config"]
+    if engine is None:
+        raise web.HTTPServiceUnavailable(reason="model not loaded")
+
+    req = ChatCompletionRequest.model_validate(await request.json())
+
+    formatter, cache_prefill_padding = _select_template(req.model)
+    prompt = formatter([m.model_dump() for m in req.messages])
+
+    prefill_tokens = ([0] if req.pad_zero else []) + engine.tokenizer.encode(prompt)
+
+    stop_tokens: List[int] = []
+    if req.stop:
+        stops = [req.stop] if isinstance(req.stop, str) else req.stop
+        for s in stops:
+            stop_tokens.extend(engine.tokenizer.encode(s))
+
+    if req.use_state_cache and state_cache is not None:
+        real_prefill_tokens, state, _cached = await state_cache.check_and_wait_prefill(
+            prefill_tokens, cache_prefill_padding)
+    else:
+        real_prefill_tokens, state = prefill_tokens, None
+
+    completion = engine.completion(
+        prompt_str=prompt,
+        prefill_tokens=list(real_prefill_tokens),
+        state=state,
+        temperature=req.temperature,
+        top_p=req.top_p,
+        max_tokens=req.max_tokens,
+        presence_penalty=req.presence_penalty,
+        frequency_penalty=req.frequency_penalty,
+        penalty_decay=req.penalty_decay,
+        stop_tokens=set(DEFAULT_STOP_TOKENS) | set(stop_tokens),
+        cache_prefill=config.state_cache_size > 0 and req.cache_prefill
+        and state_cache is not None,
+        cache_prefill_padding=cache_prefill_padding,
+    )
+
+    if req.stream:
+        return await _stream_chat(request, completion, req, state_cache)
+    return await _non_stream_chat(request, completion, req, state_cache,
+                                  prefill_tokens)
+
+
+async def _cache_event(state_cache: PrefixStateCache, payload: Dict):
+    if state_cache is None:
+        return
+    node = state_cache.cache(payload["prefilled_tokens"], payload["state"],
+                             return_trie_node=True)
+    await state_cache.awake_hang_up_prefills(node)
+
+
+def _sse_response() -> web.StreamResponse:
+    return web.StreamResponse(headers={
+        "Content-Type": "text/event-stream",
+        "Cache-Control": "no-cache",
+        "Connection": "keep-alive",
+        "X-Accel-Buffering": "no",
+    })
+
+
+async def _stream_chat(request, completion: AsyncEngineCompletion,
+                       req: ChatCompletionRequest,
+                       state_cache) -> web.StreamResponse:
+    """SSE streaming with keep-alive comments (reference app.py:241-338)."""
+    completion_id = f"chatcmpl-{uuid.uuid4().hex}"
+    created = int(time.time())
+    resp = _sse_response()
+    await resp.prepare(request)
+
+    parser = StreamingStringParser(tries=TRIE_THINK_NO_TRIGGER)
+    parser.parse(completion.task.prompt_str.split("\n\n")[-1])
+
+    stream_q: asyncio.Queue = asyncio.Queue()
+
+    async def producer():
+        try:
+            async for event in completion:
+                if event[0] == "token":
+                    for text, st in parser.parse(event[2]):
+                        if st == "content":
+                            delta = {"content": text}
+                        elif st == "reasoning_content":
+                            delta = {"content": "", "reasoning_content": text}
+                        else:
+                            continue
+                        chunk = ChatCompletionStreamResponse(
+                            id=completion_id, created=created, model=req.model,
+                            choices=[ChatCompletionStreamChoice(index=0, delta=delta)])
+                        stream_q.put_nowait(f"data: {chunk.model_dump_json()}\n\n")
+                elif event[0] == "cache_prefill":
+                    await _cache_event(state_cache, event[1])
+        except Exception as exc:  # noqa: BLE001
+            stream_q.put_nowait(
+                f"data: {json.dumps(_error_json(str(exc), 'internal_error'))}\n\n")
+        final = ChatCompletionStreamResponse(
+            id=completion_id, created=created, model=req.model,
+            choices=[ChatCompletionStreamChoice(index=0, delta={},
+                                                finish_reason="stop")])
+        stream_q.put_nowait(f"data: {final.model_dump_json()}\n\n")
+        stream_q.put_nowait("data: [DONE]\n\n")
+        stream_q.put_nowait(None)
+
+    task = asyncio.create_task(producer())
+    try:
+        while True:
+            try:
+                chunk = await asyncio.wait_for(stream_q.get(), KEEPALIVE_SECONDS)
+            except asyncio.TimeoutError:
+                await resp.write(b":\n\n")  # SSE comment keep-alive
+                continue
+            if chunk is None:
+                break
+            await resp.write(chunk.encode())
+    except (ConnectionResetError, asyncio.CancelledError):
+        pass
+    finally:
+        task.cancel()
+        completion.abort()
+    await resp.write_eof()
+    return resp
+
+
+async def _non_stream_chat(request, completion: AsyncEngineCompletion,
+                           req: ChatCompletionRequest, state_cache,
+                           prefill_tokens: List[int]) -> web.StreamResponse:
+    """Non-streaming completion delivered over a chunked response so proxies keep
+    the connection alive during generation (reference app.py:341-414)."""
+    completion_id = f"chatcmpl-{uuid.uuid4().hex}"
+    created = int(time.time())
+    resp = web.StreamResponse(headers={
+        "Content-Type": "application/json",
+        "Cache-Control": "no-cache",
+        "X-Accel-Buffering": "no",
+    })
+    await resp.prepare(request)
+
+    parser = StreamingStringParser(tries=TRIE_THINK_NO_TRIGGER)
+    parser.parse(completion.task.prompt_str.split("\n\n")[-1])
+
+    try:
+        content, reasoning = [], []
+        async for event in completion:
+            if event[0] == "token":
+                for text, st in parser.parse(event[2]):
+                    if st == "content":
+                        content.append(text)
+                    elif st == "reasoning_content":
+                        reasoning.append(text)
+            elif event[0] == "cache_prefill":
+                await _cache_event(state_cache, event[1])
+
+        completion_tokens = len(completion.task.generated_tokens)
+        body = ChatCompletionResponse(
+            id=completion_id, created=created, model=req.model,
+            choices=[ChatCompletionResponseChoice(
+                index=0,
+                message=ChatMessage(role="assistant", content="".join(content),
+                                    reasoning_content="".join(reasoning)),
+                finish_reason=str(
+                    completion.task.request_status.get_finished_reason(
+                        completion.task.request_status) or "stop"),
+            )],
+            usage=ChatCompletionResponseUsage(
+                prompt_tokens=len(prefill_tokens),
+                completion_tokens=completion_tokens,
+                total_tokens=len(prefill_tokens) + completion_tokens,
+            ),
+        )
+        await resp.write(body.model_dump_json().encode())
+    except Exception as exc:  # noqa: BLE001
+        traceback.print_exc()
+        await resp.write(json.dumps(_error_json(str(exc), "internal_error")).encode())
+    finally:
+        completion.abort()
+    await resp.write_eof()
+    return resp
+
+
+async def handle_translate(request: web.Request) -> web.StreamResponse:
+    """Batch translation endpoint (reference app.py:417-495)."""
+    engine: AsyncEngineCore = request.app["engine"]
+    if engine is None:
+        raise web.HTTPServiceUnavailable(reason="model not loaded")
+    req = TranslateRequest.model_validate(await request.json())
+
+    completion_id = f"chatcmpl-{uuid.uuid4().hex}"
+    created = int(time.time())
+    src = _LANG_NAMES.get(req.source_lang, req.source_lang)
+    tgt = _LANG_NAMES.get(req.target_lang, req.target_lang)
+
+    completions = [
+        engine.completion(f"{src}: {text}\n\n{tgt}:", max_tokens=2048,
+                          temperature=0.5)
+        for text in req.text_list
+    ]
+    resp = web.StreamResponse(headers={"Content-Type": "application/json",
+                                       "Cache-Control": "no-cache"})
+    await resp.prepare(request)
+    try:
+        gathered = asyncio.gather(*[c.get_full_completion() for c in completions])
+        while True:
+            try:
+                results = await asyncio.wait_for(asyncio.shield(gathered),
+                                                 KEEPALIVE_SECONDS)
+                break
+            except asyncio.TimeoutError:
+                await resp.write(b"\n\n")
+        body = TranslateResponse(
+            translations=[TranslationResult(text=t,
+                                            detected_source_lang=req.source_lang)
+                          for t in results],
+            id=completion_id, created=created)
+        await resp.write(body.model_dump_json().encode())
+    except Exception as exc:  # noqa: BLE001
+        await resp.write(json.dumps(_error_json(str(exc), "internal_error")).encode())
+    finally:
+        for c in completions:
+            c.abort()
+    await resp.write_eof()
+    return resp
+
+
+async def handle_rollout(request: web.Request) -> web.StreamResponse:
+    """Batch raw-prompt rollout endpoint (reference app.py:498-646)."""
+    engine: AsyncEngineCore = request.app["engine"]
+    if engine is None:
+        raise web.HTTPServiceUnavailable(reason="model not loaded")
+    req = RolloutRequest.model_validate(await request.json())
+
+    completion_id = f"chatcmpl-{uuid.uuid4().hex}"
+    created = int(time.time())
+    completions = [
+        engine.completion(
+            content, state=None, temperature=req.temperature, top_p=req.top_p,
+            max_tokens=req.max_tokens, presence_penalty=req.presence_penalty,
+            frequency_penalty=req.frequency_penalty, penalty_decay=req.penalty_decay,
+            stop_tokens=req.stop_tokens)
+        for content in req.contents
+    ]
+    resp = web.StreamResponse(headers={
+        "Content-Type": "text/event-stream" if req.stream else "application/json",
+        "Cache-Control": "no-cache", "X-Accel-Buffering": "no"})
+    await resp.prepare(request)
+
+    try:
+        if req.stream:
+            stream_q: asyncio.Queue = asyncio.Queue()
+            remaining = len(completions)
+
+            async def pump(index: int, completion: AsyncEngineCompletion):
+                try:
+                    async for event in completion:
+                        if event[0] == "token":
+                            stream_q.put_nowait((index, event[2]))
+                finally:
+                    stream_q.put_nowait(None)
+
+            tasks = [asyncio.create_task(pump(i, c))
+                     for i, c in enumerate(completions)]
+            while remaining > 0:
+                try:
+                    item = await asyncio.wait_for(stream_q.get(), 5.0)
+                except asyncio.TimeoutError:
+                    await resp.write(b":\n\n")
+                    continue
+                if item is None:
+                    remaining -= 1
+                    continue
+                chunk = RolloutStreamResponse(
+                    id=completion_id, created=created, model=req.model,
+                    choices=[RolloutStreamChoice(index=item[0],
+                                                 delta={"content": item[1]})])
+                await resp.write(f"data: {chunk.model_dump_json()}\n\n".encode())
+            for t in tasks:
+                t.cancel()
+        else:
+            gathered = asyncio.gather(*[c.get_full_completion()
+                                        for c in completions])
+            while True:
+                try:
+                    results = await asyncio.wait_for(asyncio.shield(gathered),
+                                                     KEEPALIVE_SECONDS)
+                    break
+                except asyncio.TimeoutError:
+                    await resp.write(b"\n\n")
+            body = RolloutStreamResponse(
+                id=completion_id, created=created, model=req.model,
+                rollouts=[RolloutStreamChoice(index=i, delta={"content": results[i]})
+                          for i in range(len(results))])
+            await resp.write(body.model_dump_json().encode())
+    except Exception as exc:  # noqa: BLE001
+        await resp.write(
+            f"data: {json.dumps(_error_json(str(exc), 'internal_error'))}\n\n".encode())
+    finally:
+        for c in completions:
+            c.abort()
+    await resp.write_eof()
+    return resp
+
+
+def _model_config_from_server_config(config: ServerConfig) -> ModelLoadConfig:
+    synthetic = None
+    if config.synthetic_model:
+        L, C = (int(x) for x in config.synthetic_model.split(","))
+        synthetic = dict(n_layer=L, n_embd=C, vocab_size=config.vocab_size)
+    return ModelLoadConfig(
+        model_path=config.model_path,
+        vocab_path=config.vocab_path,
+        vocab_size=config.vocab_size,
+        head_size=config.head_size,
+        quantization=None if config.quantization in ("none", "") else config.quantization,
+        wkv_state_dtype=config.wkv_state_dtype,
+        activation_dtype=config.activation_dtype,
+        prefill_chunk=config.prefill_chunk,
+        synthetic_config=synthetic,
+    )
+
+
+def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None,
+               state_cache: Optional[PrefixStateCache] = None,
+               model_factory=None) -> web.Application:
+    """Build the aiohttp application. Pass a pre-initialized engine for tests;
+    otherwise the engine is created and loaded on startup."""
+    app = web.Application(middlewares=[cors_and_errors_middleware])
+    app["config"] = config
+    app["engine"] = engine
+    app["state_cache"] = state_cache if state_cache is not None else (
+        PrefixStateCache(config.state_cache_size)
+        if config.state_cache_size > 0 else None)
+    created = int(time.time())
+    app["model_list"] = [
+        ModelInfo(id="rwkv-latest", created=created, owned_by="chirrup_tpu"),
+        ModelInfo(id="rwkv-latest:thinking", created=created, owned_by="chirrup_tpu"),
+        ModelInfo(id="rwkv-latest:no-thinking", created=created,
+                  owned_by="chirrup_tpu"),
+    ]
+
+    async def on_startup(app_):
+        if app_["engine"] is None:
+            eng = AsyncEngineCore()
+            mc = _model_config_from_server_config(config)
+            await eng.init(worker_num=config.worker_num, model_config=mc,
+                           batch_size=config.batch_size,
+                           model_factory=model_factory)
+            app_["engine"] = eng
+
+    async def on_cleanup(app_):
+        if app_["engine"] is not None:
+            app_["engine"].shutdown()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+
+    app.router.add_get("/health", handle_health)
+    app.router.add_get("/v1/models", handle_models)
+    app.router.add_post("/v1/chat/completions", handle_chat_completions)
+    app.router.add_post("/v1/batch/translate", handle_translate)
+    app.router.add_post("/v1/batch/rollout", handle_rollout)
+    return app
+
+
+def main(argv=None):
+    from chirrup_tpu.server.config import parse_config
+
+    config = parse_config(argv)
+    app = create_app(config)
+    web.run_app(app, host=config.host, port=config.port)
+
+
+if __name__ == "__main__":
+    main()
