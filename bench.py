@@ -1,0 +1,179 @@
+"""Headline benchmark: continuous-batching decode throughput on one TPU chip.
+
+Runs the REAL serving decode step (full RWKV-7 7.2B-dimension model, INT8 mm8
+weights, Pallas WKV7 kernel, fp16 recurrent state, penalties + rwkv-pip-compatible
+sampling, per-step host sync of sampled tokens) at batch 200 — the reference's
+per-GPU serving configuration (4 workers x bsz 200 on 4x RTX 4090,
+/root/reference/README.md:17-19, 16 tok/s/request => 3200 tok/s aggregate per GPU
+at 7.2B fp16).
+
+Weights are randomly generated at the serving dtype (int8 codes + scales) directly
+on device — identical compute/memory behavior to a real checkpoint at ~1/4 the
+load time. Prints one JSON line; vs_baseline = aggregate tok/s / 3200.
+
+Usage: python bench.py [--small] [--batch N] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_PER_GPU_TOKS = 3200.0  # 200 req x 16 tok/s/req (reference README.md:17-19)
+
+
+def build_random_int8_params(cfg, key, dtype):
+    """Parameter pytree with Mm8Weight big mats, random codes/scales (bench-only)."""
+    import jax
+    import jax.numpy as jnp
+    from chirrup_tpu.ops.mm8 import Mm8Weight
+
+    L, C, V, F = cfg.n_layer, cfg.n_embd, cfg.vocab_size, cfg.d_ffn
+    Dw, Da, Dv, Dg = (cfg.d_decay_lora, cfg.d_iclr_lora, cfg.d_v_lora,
+                      cfg.d_gate_lora)
+    ks = iter(jax.random.split(key, 64))
+
+    def dense(*shape, scale=0.02):
+        return (jax.random.normal(next(ks), shape, jnp.float32) * scale).astype(dtype)
+
+    def q8(*shape):
+        K = shape[-2]
+        M = shape[-1]
+        lead = shape[:-2]
+        return Mm8Weight(
+            q=jax.random.randint(next(ks), shape, -128, 128, jnp.int8),
+            mx=jnp.full(lead + (M,), -0.02, jnp.float32),
+            rx=jnp.full(lead + (M,), 0.04 / 16, jnp.float32),
+            my=jnp.full(lead + (K,), -0.001, jnp.float32),
+            ry=jnp.full(lead + (K,), 0.002 / 16, jnp.float32),
+        )
+
+    att = {
+        "x_r": dense(L, C), "x_w": dense(L, C), "x_k": dense(L, C),
+        "x_v": dense(L, C), "x_a": dense(L, C), "x_g": dense(L, C),
+        "w0": dense(L, C), "w1": dense(L, C, Dw), "w2": dense(L, Dw, C),
+        "a0": dense(L, C), "a1": dense(L, C, Da), "a2": dense(L, Da, C),
+        "v0": dense(L, C), "v1": dense(L, C, Dv), "v2": dense(L, Dv, C),
+        "g1": dense(L, C, Dg), "g2": dense(L, Dg, C),
+        "k_k": dense(L, C, scale=1.0), "k_a": dense(L, C, scale=1.0),
+        "r_k": dense(L, C // 64, 64),
+        "Wr": q8(L, C, C), "Wk": q8(L, C, C), "Wv": q8(L, C, C), "Wo": q8(L, C, C),
+        "ln_x_w": dense(L, C, scale=1.0), "ln_x_b": dense(L, C),
+    }
+    ffn = {"x_k": dense(L, C), "Wk": q8(L, C, F), "Wv": q8(L, F, C)}
+    blocks = {
+        "ln1_w": dense(L, C, scale=1.0), "ln1_b": dense(L, C),
+        "ln2_w": dense(L, C, scale=1.0), "ln2_b": dense(L, C),
+        "att": att, "ffn": ffn,
+    }
+    return {
+        "emb": dense(V, C, scale=1.0),
+        "blocks": blocks,
+        "ln_out_w": dense(C, scale=1.0), "ln_out_b": dense(C),
+        "head": q8(C, V),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="1.5B-ish config for quick checks")
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from chirrup_tpu.models.config import RWKV7Config, RuntimeConfig
+    from chirrup_tpu.engine.serving import ServingModel
+
+    if args.small:
+        cfg = RWKV7Config(n_layer=24, n_embd=2048)  # g1 1.5B dims
+        batch = args.batch or 64
+    else:
+        cfg = RWKV7Config(n_layer=32, n_embd=4096)  # g1 7.2B dims
+        batch = args.batch or 200
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform in ("tpu", "axon") or "TPU" in str(dev)
+    print(f"# device={dev} model L{cfg.n_layer} C{cfg.n_embd} batch={batch}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    params = build_random_int8_params(cfg, jax.random.key(0), jnp.bfloat16)
+    jax.block_until_ready(params["emb"])
+    print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    runtime = RuntimeConfig(activation_dtype=jnp.bfloat16,
+                            wkv_state_dtype=jnp.bfloat16,
+                            quantization=None,  # already int8
+                            use_pallas_wkv=on_tpu)  # scan path off-TPU
+    model = ServingModel(cfg, params, runtime, batch_size=batch)
+    carry = model.init_carry()
+
+    class _T:
+        temperature, top_p, top_k = 1.0, 0.3, 0
+        frequency_penalty, presence_penalty, penalty_decay = 0.5, 0.5, 0.996
+        forbidden_tokens = ()
+
+    for slot in range(min(2, batch)):  # spot-configure a couple; rest default
+        carry = model.insert_slot(carry, slot, None, _T())
+
+    tokens = np.random.default_rng(0).integers(1, 60000, batch).astype(np.int32)
+    active = np.ones((batch,), bool)
+    decode = np.ones((batch,), bool)
+
+    t0 = time.time()
+    carry, sampled, _ = model.decode_step(carry, jnp.asarray(tokens),
+                                          jnp.asarray(active),
+                                          jnp.asarray(decode))
+    jax.block_until_ready(sampled)
+    print(f"# first step (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # warmup
+    for _ in range(3):
+        carry, sampled, _ = model.decode_step(carry, jnp.asarray(tokens),
+                                              jnp.asarray(active),
+                                              jnp.asarray(decode))
+        tokens = np.maximum(np.asarray(jax.device_get(sampled)), 1).astype(np.int32)
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        carry, sampled, _ = model.decode_step(carry, jnp.asarray(tokens),
+                                              jnp.asarray(active),
+                                              jnp.asarray(decode))
+        # per-step host sync, as serving does
+        tokens = np.maximum(np.asarray(jax.device_get(sampled)), 1).astype(np.int32)
+    dt = time.time() - t0
+
+    step_ms = dt / args.steps * 1000
+    agg = batch * args.steps / dt
+    per_req = args.steps / dt
+    print(f"# step {step_ms:.2f} ms | {agg:.0f} tok/s aggregate | "
+          f"{per_req:.1f} tok/s/request", file=sys.stderr)
+
+    size = "7.2B" if not args.small else "1.5B"
+    wkv_path = "pallas WKV" if on_tpu else "lax.scan WKV"
+    print(json.dumps({
+        "metric": f"decode tokens/s/chip, RWKV-7 {size} INT8 ({wkv_path} + mm8 + "
+                  f"sampling + penalties), batch {batch}, per-step host sync",
+        "value": round(agg, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(agg / BASELINE_PER_GPU_TOKS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,8 @@ def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
     from chirrup_tpu.engine.serving import ServingModel
 
     def factory():
+        import dataclasses
+
         dtypes = {"float32": jnp.float32, "float16": jnp.float16,
                   "bfloat16": jnp.bfloat16}
         runtime = RuntimeConfig(
@@ -77,12 +79,13 @@ def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
                                             vocab_size=model_config.vocab_size)
         if device is not None:
             params = jax.device_put(params, device)
-        # pallas interpret mode when not running on real TPU hardware
+        # off TPU, the lax.scan WKV is far faster than interpret-mode pallas
         on_tpu = any(d.platform in ("tpu", "axon") or "TPU" in str(d)
                      for d in jax.devices())
+        if not on_tpu and runtime.use_pallas_wkv:
+            runtime = dataclasses.replace(runtime, use_pallas_wkv=False)
         model = ServingModel(cfg, params, runtime, batch_size,
                              prefill_chunk=model_config.prefill_chunk,
-                             interpret_pallas=runtime.use_pallas_wkv and not on_tpu,
                              seed=seed)
         tokenizer = WorldTokenizer(model_config.vocab_path)
         return model, tokenizer

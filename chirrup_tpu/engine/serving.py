@@ -33,7 +33,7 @@ from chirrup_tpu.ops import mm8
 from chirrup_tpu.ops import wkv7 as wkv7_ref
 from chirrup_tpu.ops import wkv7_pallas
 from chirrup_tpu.ops.sampling import (
-    sample_logits_rwkv_pip_compatible, record_sampled_token)
+    sample_logits_rwkv_pip_fast, record_sampled_token)
 from chirrup_tpu.engine.structures import NO_PENALTY_TOKEN_IDS, RequestState
 
 MAX_FORBIDDEN_TOKENS = 8
@@ -54,6 +54,7 @@ class BatchCarry:
     presence_penalty: Any   # (B,) f32
     penalty_decay: Any      # (B,) f32
     forbidden: Any          # (B, MAX_FORBIDDEN_TOKENS) i32, -1 padded
+    last_sampled: Any       # (B,) i32 — device-resident decode feedback (pipelining)
     rng: Any                # jax PRNG key
 
 
@@ -107,34 +108,82 @@ class ServingModel:
 
     def __init__(self, config: RWKV7Config, params, runtime: RuntimeConfig,
                  batch_size: int, prefill_chunk: int = 64, *,
-                 interpret_pallas: bool = False, seed: int = 0):
+                 mesh=None, interpret_pallas: bool = False, seed: int = 0):
         self.config = config
         self.runtime = runtime
         self.batch_size = batch_size
         self.prefill_chunk = prefill_chunk
         self._interpret = interpret_pallas
+        self.mesh = mesh
 
         if runtime.quantization == "int8":
             params = _quantize_params(params)
         self.params = _cast_params(params, runtime.activation_dtype)
 
         if runtime.use_pallas_wkv:
-            def wkv_fn(s, r, w, k, v, a, b, e, lengths):
+            def raw_wkv(s, r, w, k, v, a, b, e, lengths):
                 return wkv7_pallas.wkv7_pallas_batch(
                     s, r, w, k, v, a, b, e, lengths=lengths,
                     use_dither=runtime.use_dither, interpret=interpret_pallas)
         else:
-            def wkv_fn(s, r, w, k, v, a, b, e, lengths):
+            def raw_wkv(s, r, w, k, v, a, b, e, lengths):
                 return wkv7_ref.wkv7_reference_batch(
                     s, r, w, k, v, a, b, e, use_dither=runtime.use_dither,
                     lengths=lengths)
-        self._wkv_fn = wkv_fn
+
+        if mesh is None:
+            self._wkv_fn = raw_wkv
+            self._carry_shardings = None
+        else:
+            # head-parallel WKV: each chip runs the kernel on its own heads' states
+            # (the recurrence has no cross-head terms, so no collectives inside)
+            from chirrup_tpu.parallel import mesh as pmesh
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map as _shard_map
+
+                def smap(f, in_specs, out_specs):
+                    return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                                      out_specs=out_specs, check_vma=False)
+            except ImportError:
+                from jax.experimental.shard_map import shard_map as _shard_map
+
+                def smap(f, in_specs, out_specs):
+                    return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                                      out_specs=out_specs, check_rep=False)
+
+            io = P(None, None, "tp")
+            rep = P(None)
+
+            def wkv_no_len(s, r, w, k, v, a, b, e):
+                return raw_wkv(s, r, w, k, v, a, b, e, None)
+
+            sharded_with_len = smap(
+                lambda s, r, w, k, v, a, b, e, ln: raw_wkv(s, r, w, k, v, a, b, e, ln),
+                in_specs=(io, io, io, io, io, io, io, rep, rep),
+                out_specs=(io, io))
+            sharded_no_len = smap(
+                wkv_no_len,
+                in_specs=(io, io, io, io, io, io, io, rep),
+                out_specs=(io, io))
+
+            def sharded_wkv(s, r, w, k, v, a, b, e, lengths):
+                if lengths is None:
+                    return sharded_no_len(s, r, w, k, v, a, b, e)
+                return sharded_with_len(s, r, w, k, v, a, b, e, lengths)
+
+            self._wkv_fn = sharded_wkv
+            self.params = jax.device_put(
+                self.params, pmesh.param_shardings(mesh, self.params))
+            self._carry_shardings = pmesh.carry_shardings(mesh)
 
         self._no_penalty_ids = jnp.asarray(sorted(NO_PENALTY_TOKEN_IDS), jnp.int32)
         self._seed = seed
 
-        self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(0,))
-        self._prefill_step = jax.jit(self._prefill_step_impl, donate_argnums=(0,))
+        # params are explicit jit arguments — closing over them would embed the
+        # weights as HLO constants (catastrophic compile times at multi-GB scale)
+        self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(1,))
+        self._prefill_step = jax.jit(self._prefill_step_impl, donate_argnums=(1,))
         self._insert_slot = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
         self._reset_slot = jax.jit(self._reset_slot_impl, donate_argnums=(0,))
         self._extract_slot = jax.jit(self._extract_slot_impl)
@@ -147,7 +196,7 @@ class ServingModel:
         state = model.init_state(cfg, B, shift_dtype=rt.activation_dtype,
                                  wkv_dtype=rt.wkv_state_dtype)
         f32 = jnp.float32
-        return BatchCarry(
+        carry = BatchCarry(
             state=state,
             occurrence=jnp.zeros((B, V), f32),
             presence_vec=jnp.zeros((B, V), f32),
@@ -158,15 +207,23 @@ class ServingModel:
             presence_penalty=jnp.zeros((B,), f32),
             penalty_decay=jnp.ones((B,), f32),
             forbidden=jnp.full((B, MAX_FORBIDDEN_TOKENS), -1, jnp.int32),
+            last_sampled=jnp.full((B,), -1, jnp.int32),
             rng=jax.random.key(self._seed),
         )
+        if self._carry_shardings is not None:
+            carry = jax.device_put(carry, self._carry_shardings)
+        return carry
 
     # ------------------------------------------------------------ step programs
 
-    def _decode_step_impl(self, carry: BatchCarry, tokens, active_mask, decode_mask):
+    def _decode_step_impl(self, params, carry: BatchCarry, host_tokens,
+                          feedback_mask, active_mask, decode_mask):
         """One token step over the whole batch.
 
-        tokens: (B,) int32 input token per slot (garbage where inactive).
+        host_tokens: (B,) int32 input token per slot (garbage where inactive).
+        feedback_mask: slots whose input is the PREVIOUS step's on-device sample
+          (carry.last_sampled) — lets the worker dispatch step N+1 before reading
+          step N's tokens, hiding the host round-trip.
         active_mask: slots whose state advances (decode + one-by-one prefill).
         decode_mask: subset that gets penalties + sampling (reference worker
         _run_forward_one semantics, worker.py:671-742).
@@ -174,8 +231,10 @@ class ServingModel:
         Returns (carry, sampled (B,) int32 [-1 where not decoding], raw_logits
         (B, V) f32 pre-penalty — for return_logits / eval harnesses).
         """
+        tokens = jnp.where(feedback_mask, jnp.maximum(carry.last_sampled, 0),
+                           host_tokens)
         logits, new_state = model.forward_step(
-            self.params, tokens, carry.state, active=active_mask,
+            params, tokens, carry.state, active=active_mask,
             wkv_fn=self._wkv_fn, compute_dtype=self.runtime.activation_dtype)
         raw_logits = logits  # pre-penalty (reference worker.py:714-716)
 
@@ -192,7 +251,7 @@ class ServingModel:
             adj = jnp.where(vocab_iota == carry.forbidden[:, i:i + 1], adj - 1e10, adj)
 
         rng, key = jax.random.split(carry.rng)
-        sampled = sample_logits_rwkv_pip_compatible(
+        sampled = sample_logits_rwkv_pip_fast(
             adj, carry.temperature, carry.top_p, carry.top_k, key)
         sampled = jnp.where(decode_mask, sampled, -1)
 
@@ -205,17 +264,18 @@ class ServingModel:
 
         carry = dataclasses.replace(
             carry, state=new_state, occurrence=occurrence,
-            presence_vec=presence_vec, rng=rng)
+            presence_vec=presence_vec, rng=rng,
+            last_sampled=jnp.where(decode_mask, sampled, carry.last_sampled))
         return carry, sampled, raw_logits
 
-    def _prefill_step_impl(self, carry: BatchCarry, tokens, lengths):
+    def _prefill_step_impl(self, params, carry: BatchCarry, tokens, lengths):
         """Advance prefilling slots by up to `prefill_chunk` tokens each.
 
         tokens: (B, T) int32; lengths: (B,) int32 with 0 for non-prefill slots.
         No logits are computed (the final prompt token always goes through
         decode_step, mirroring the reference's one-prefill phase)."""
         new_state = model.forward_chunk(
-            self.params, tokens, carry.state, lengths, wkv_fn=self._wkv_fn,
+            params, tokens, carry.state, lengths, wkv_fn=self._wkv_fn,
             compute_dtype=self.runtime.activation_dtype)
         return dataclasses.replace(carry, state=new_state)
 
@@ -249,6 +309,7 @@ class ServingModel:
             presence_penalty=set_row(carry.presence_penalty, presence_penalty),
             penalty_decay=set_row(carry.penalty_decay, penalty_decay),
             forbidden=jnp.where(onehot[:, None], forbidden[None, :], carry.forbidden),
+            last_sampled=jnp.where(onehot, -1, carry.last_sampled),
         )
 
     def _reset_slot_impl(self, carry: BatchCarry, slot):
@@ -275,11 +336,17 @@ class ServingModel:
 
     # ------------------------------------------------------------- public API
 
-    def decode_step(self, carry, tokens, active_mask, decode_mask):
-        return self._decode_step(carry, tokens, active_mask, decode_mask)
+    def decode_step(self, carry, tokens, active_mask, decode_mask,
+                    feedback_mask=None):
+        if feedback_mask is None:
+            feedback_mask = jnp.zeros(self.batch_size, bool)
+        return self._decode_step(self.params, carry, jnp.asarray(tokens),
+                                 jnp.asarray(feedback_mask),
+                                 jnp.asarray(active_mask),
+                                 jnp.asarray(decode_mask))
 
     def prefill_step(self, carry, tokens, lengths):
-        return self._prefill_step(carry, tokens, lengths)
+        return self._prefill_step(self.params, carry, tokens, lengths)
 
     def insert_slot(self, carry, slot: int, request_state: Optional[RequestState],
                     task) -> BatchCarry:

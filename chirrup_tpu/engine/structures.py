@@ -139,7 +139,7 @@ class ModelLoadConfig:
     head_size: int = 64
     # runtime knobs
     quantization: Optional[str] = "int8"   # None | "int8"
-    wkv_state_dtype: str = "float32"       # "float32" | "float16" | "bfloat16"
+    wkv_state_dtype: str = "bfloat16"      # "float32" | "bfloat16" (fp16 unsupported by Mosaic on TPU)
     activation_dtype: str = "bfloat16"
     use_pallas_wkv: bool = True
     prefill_chunk: int = 64

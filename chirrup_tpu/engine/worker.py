@@ -50,9 +50,22 @@ class SlotData:
     prefilled_tokens: List[int] = dataclasses.field(default_factory=list)
     prefill_cached: bool = False
     decoder: Optional[StreamingDecoder] = None
+    # True once the slot's decode input comes from the device-side feedback
+    # (BatchCarry.last_sampled) instead of a host-provided token
+    use_feedback: bool = False
+
 
     def pad(self) -> int:
         return max(self.task.cache_prefill_padding - 1, 0) if self.task else 0
+
+
+@dataclasses.dataclass
+class _PendingStep:
+    """A dispatched decode step whose sampled tokens have not been read yet."""
+
+    sampled: Any
+    raw_logits: Any
+    decode_slots: List[Tuple[int, str]]  # (slot index, task_id at dispatch)
 
 
 class Worker:
@@ -88,6 +101,7 @@ class Worker:
         self._seq_countdown = 0
         self._loop_times: deque = deque(maxlen=10)
         self.loop_count = 0
+        self._pending: Optional[_PendingStep] = None
 
     # ------------------------------------------------------------------ setup
 
@@ -206,35 +220,67 @@ class Worker:
 
     # ---------------------------------------------------------------- forward
 
-    def _run_decode_step(self):
-        """One token for every DECODE + ONE_PREFILL slot."""
+    def _dispatch_decode_step(self):
+        """Dispatch one token step for every DECODE + ONE_PREFILL slot.
+
+        Pipelined: the step is dispatched with DECODE slots reading their input from
+        the device-resident previous sample (BatchCarry.last_sampled), so this
+        returns immediately and the host processes the PREVIOUS step's results while
+        this one executes — the host round-trip (worker.py .item() in the reference,
+        the tunnel RTT here) disappears from the critical path."""
         B = self.batch_size
         tokens = np.zeros((B,), np.int32)
+        feedback = np.zeros((B,), bool)
         active = np.zeros((B,), bool)
         decode = np.zeros((B,), bool)
+        decode_slots: List[Tuple[int, str]] = []
         for idx, slot in enumerate(self.slots):
-            if slot.phase in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL):
-                active[idx] = True
+            if slot.phase not in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL):
+                continue
+            active[idx] = True
+            if slot.phase == SlotPhase.DECODE:
+                decode[idx] = True
+                decode_slots.append((idx, slot.task.task_id))
+                if slot.use_feedback:
+                    feedback[idx] = True
+                else:
+                    tokens[idx] = slot.next_input
+                    slot.use_feedback = True  # subsequent inputs come from device
+            else:
                 tokens[idx] = slot.next_input
-                decode[idx] = slot.phase == SlotPhase.DECODE
 
         self.carry, sampled, raw_logits = self.model.decode_step(
-            self.carry, tokens, active, decode)
-        sampled_np = np.asarray(jax.device_get(sampled))
+            self.carry, tokens, active, decode, feedback)
 
+        # post-dispatch bookkeeping for prefilling slots (their inputs are
+        # host-known prompt tokens; reference _handle_forward_one_prefill_phase)
         for idx, slot in enumerate(self.slots):
-            if not active[idx]:
-                continue
-            task = slot.task
-            if slot.phase == SlotPhase.ONE_PREFILL:
-                # the token we just fed is now part of the prefix
+            if active[idx] and slot.phase == SlotPhase.ONE_PREFILL:
+                task = slot.task
                 slot.prefilled_tokens.append(slot.next_input)
                 slot.next_input = task.prefill_tokens.pop(0)
                 if len(task.prefill_tokens) == 0:
                     slot.phase = SlotPhase.DECODE
+                # extract dispatched after decode_step -> sees post-step state
                 self._maybe_snapshot(idx)
-                continue
 
+        self._pending = _PendingStep(sampled=sampled, raw_logits=raw_logits,
+                                     decode_slots=decode_slots)
+        return int(active.sum()), int(decode.sum())
+
+    def _process_pending(self):
+        """Consume the previous step's sampled tokens (overlaps device compute of
+        the step dispatched just before)."""
+        pending = self._pending
+        self._pending = None
+        if pending is None:
+            return
+        sampled_np = np.asarray(jax.device_get(pending.sampled))
+        for idx, task_id in pending.decode_slots:
+            slot = self.slots[idx]
+            task = slot.task
+            if task is None or task.task_id != task_id or task.is_finished():
+                continue  # slot was reset/aborted while the step was in flight
             new_token = int(sampled_np[idx])
             if new_token in task.stop_tokens:
                 task.request_status = RequestStatus.FINISHED_STOPPED
@@ -243,7 +289,8 @@ class Worker:
             task.generated_tokens.append(new_token)
             task.decoded_texts.append(new_text)
             if task.return_logits:
-                logits_row = np.asarray(jax.device_get(raw_logits[idx]), np.float32)
+                logits_row = np.asarray(
+                    jax.device_get(pending.raw_logits[idx]), np.float32)
                 task.output_queue.put_nowait(
                     ("token_generated", (new_token, new_text, logits_row)))
             else:
@@ -251,9 +298,6 @@ class Worker:
             if task.max_tokens is not None \
                     and len(task.generated_tokens) >= task.max_tokens:
                 task.request_status = RequestStatus.FINISHED_LENGTH_CAPPED
-                continue
-            slot.next_input = new_token
-        return int(active.sum()), int(decode.sum())
 
     def _run_prefill_step(self):
         """One ragged chunk for every SEQ_PREFILL slot (reference _run_forward_seq,
@@ -309,11 +353,12 @@ class Worker:
                        if s.phase in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL))
         n_seq = sum(1 for s in self.slots if s.phase == SlotPhase.SEQ_PREFILL)
         if n_active == 0 and n_seq == 0:
+            self._process_pending()  # drain the last in-flight step before idling
             return False
 
         decode_count = one_prefill_count = seq_count = 0
         if n_active > 0:
-            total, decode_count = self._run_decode_step()
+            total, decode_count = self._dispatch_decode_step()
             one_prefill_count = total - decode_count
             self._seq_countdown -= 1
         else:
@@ -322,6 +367,9 @@ class Worker:
         if self._seq_countdown < 1 and n_seq > 0:
             seq_count = self._run_prefill_step()
             self._seq_countdown = max(1, self.decode_prefill_ratio)
+
+        # read the PREVIOUS step's tokens while the dispatched work executes
+        self._process_pending()
 
         self._loop_times.append(time.perf_counter() - loop_start)
         self._emit_worker_event("worker_performance", {
@@ -337,15 +385,43 @@ class Worker:
         return True
 
     def start(self):
-        if self.model is None:
-            self._init_worker()
+        try:
+            if self.model is None:
+                self._init_worker()
+        except Exception as exc:  # noqa: BLE001
+            import traceback
+            traceback.print_exc()
+            self._emit_worker_event("worker_loaded", {
+                "status": "error", "worker_id": self.worker_id, "error": str(exc)})
+            return
         while True:
             if self._process_master_events():
                 break
-            did_work = self.run_once()
+            try:
+                did_work = self.run_once()
+            except Exception as exc:  # noqa: BLE001
+                # a dying worker must fail loudly, not strand its tasks
+                # (the reference never detects this case — SURVEY §5)
+                import traceback
+                traceback.print_exc()
+                self._emit_worker_event("worker_error", {"error": str(exc)})
+                self._abort_all_tasks(exc)
+                time.sleep(0.5)
+                continue
             if not did_work:
                 time.sleep(self.idle_sleep)
         self._cleanup()
+
+    def _abort_all_tasks(self, exc: Exception):
+        for idx, slot in enumerate(self.slots):
+            if slot.task is not None:
+                slot.task.request_status = RequestStatus.FINISHED_ABORTED
+                try:
+                    slot.task.output_queue.put_nowait(("task_completed", slot.task))
+                except Exception:
+                    pass
+                self.slots[idx] = SlotData()
+        self._pending = None
 
     def _cleanup(self):
         self.carry = None

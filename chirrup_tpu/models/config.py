@@ -57,7 +57,7 @@ class RuntimeConfig:
     # traffic of the hottest loop (the per-step state read/write) at the cost of
     # rounding the state each step — which the dither compensates, mirroring the
     # reference's fp16-state design. float32 is the high-precision option.
-    wkv_state_dtype: jnp.dtype = jnp.float16
+    wkv_state_dtype: jnp.dtype = jnp.bfloat16
     use_dither: bool = True
     # weight quantization: None (keep activation_dtype) or "int8" (mm8 weight-only)
     quantization: Optional[str] = None

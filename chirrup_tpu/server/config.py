@@ -26,7 +26,7 @@ class ServerConfig:
     port: int = 8000
     # TPU-native extensions
     quantization: str = "int8"           # "int8" | "none"
-    wkv_state_dtype: str = "float32"     # float32 | float16 | bfloat16
+    wkv_state_dtype: str = "bfloat16"    # float32 | bfloat16
     activation_dtype: str = "bfloat16"
     prefill_chunk: int = 64
     tensor_parallel: int = 1

@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from chirrup_tpu.ops.sampling import (
-    sample_logits_rwkv_pip_compatible, apply_penalties, record_sampled_token)
+    sample_logits_rwkv_pip_compatible, sample_logits_rwkv_pip_fast,
+    apply_penalties, record_sampled_token)
 
 
 def _expected_probs_np(logits, temperature, top_p, top_k):
@@ -88,6 +89,46 @@ def test_per_row_params_vary():
         logits, temps, jnp.asarray([0.3, 1.0]), jnp.zeros(2, jnp.int32),
         jax.random.key(5))
     assert int(toks[0]) == int(np.argmax(np.asarray(logits)[0]))
+
+
+def test_fast_sampler_matches_exact_distribution():
+    """Top-k fast path must match the exact sampler's distribution and support."""
+    rng = np.random.default_rng(5)
+    V, n = 256, 5000
+    logits_np = (rng.standard_normal(V) * 2).astype(np.float32)
+    for temp, top_p, top_k, k_max in [(1.0, 0.3, 0, 64), (0.8, 0.9, 0, 64),
+                                      (1.0, 0.5, 10, 64), (0.0, 0.3, 0, 64)]:
+        expected = _expected_probs_np(logits_np.copy(), temp, top_p, top_k)
+        logits = jnp.broadcast_to(jnp.asarray(logits_np), (n, V))
+        toks = sample_logits_rwkv_pip_fast(
+            logits, jnp.full(n, temp), jnp.full(n, top_p),
+            jnp.full(n, top_k, jnp.int32), jax.random.key(23), k_max=k_max)
+        freq = np.bincount(np.asarray(toks), minlength=V) / n
+        assert np.abs(freq - expected).max() < 0.03, (temp, top_p, top_k)
+        assert set(np.nonzero(freq)[0]).issubset(set(np.nonzero(expected)[0]))
+
+
+def test_fast_sampler_fallback_to_exact():
+    """top_p=1.0 on a flat distribution exceeds top-k coverage -> exact fallback."""
+    rng = np.random.default_rng(6)
+    V, n = 512, 4000
+    logits_np = np.zeros(V, np.float32)  # uniform: top-64 mass = 64/512 << 1.0
+    logits = jnp.broadcast_to(jnp.asarray(logits_np), (n, V))
+    toks = sample_logits_rwkv_pip_fast(
+        logits, jnp.ones(n), jnp.ones(n), jnp.zeros(n, jnp.int32),
+        jax.random.key(7), k_max=64)
+    freq = np.bincount(np.asarray(toks), minlength=V) / n
+    # uniform sampling over all V, not truncated to the top-64
+    assert (freq > 0).sum() > 300
+
+
+def test_fast_sampler_greedy():
+    rng = np.random.default_rng(8)
+    logits = jnp.asarray(rng.standard_normal((8, 1000)), jnp.float32)
+    toks = sample_logits_rwkv_pip_fast(
+        logits, jnp.zeros(8), jnp.full(8, 0.9), jnp.zeros(8, jnp.int32),
+        jax.random.key(2), k_max=128)
+    np.testing.assert_array_equal(np.asarray(toks), np.argmax(np.asarray(logits), -1))
 
 
 def test_penalty_semantics():
