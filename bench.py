@@ -41,16 +41,16 @@ def build_random_int8_params(cfg, key, dtype):
     def dense(*shape, scale=0.02):
         return (jax.random.normal(next(ks), shape, jnp.float32) * scale).astype(dtype)
 
-    def q8(*shape):
+    def q8(*shape, rx_full=0.04, ry_full=0.002):
         K = shape[-2]
         M = shape[-1]
         lead = shape[:-2]
         return Mm8Weight(
             q=jax.random.randint(next(ks), shape, -128, 128, jnp.int8),
-            mx=jnp.full(lead + (M,), -0.02, jnp.float32),
-            rx=jnp.full(lead + (M,), 0.04 / 16, jnp.float32),
-            my=jnp.full(lead + (K,), -0.001, jnp.float32),
-            ry=jnp.full(lead + (K,), 0.002 / 16, jnp.float32),
+            mx=jnp.zeros(lead + (M,), jnp.float32),
+            rx=jnp.full(lead + (M,), rx_full / 16, jnp.float32),
+            my=jnp.zeros(lead + (K,), jnp.float32),
+            ry=jnp.full(lead + (K,), ry_full / 16, jnp.float32),
         )
 
     att = {
@@ -74,8 +74,11 @@ def build_random_int8_params(cfg, key, dtype):
     return {
         "emb": dense(V, C, scale=1.0),
         "blocks": blocks,
+        # head scales sized so logits concentrate like a trained model's (top-1k
+        # softmax mass >> top_p) — otherwise the sampler's exact-fallback path runs
+        # every step, which real checkpoints essentially never hit
         "ln_out_w": dense(C, scale=1.0), "ln_out_b": dense(C),
-        "head": q8(C, V),
+        "head": q8(C, V, rx_full=0.45, ry_full=1.0),
     }
 
 

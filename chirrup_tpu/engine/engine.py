@@ -112,6 +112,7 @@ class AsyncEngineCore:
 
     async def init(self, worker_num: int, model_config: ModelLoadConfig,
                    batch_size: int = 32, *, load_timeout: float = 300.0,
+                   decode_block_size: Optional[int] = None,
                    model_factory: Optional[Callable] = None) -> None:
         """Spawn workers and wait for the worker_loaded handshake
         (reference engine_core.py:89-173, 300 s timeout)."""
@@ -138,6 +139,7 @@ class AsyncEngineCore:
                 master_event_queue=master_q,
                 worker_event_queue=self.worker_event_queue,
                 batch_size=batch_size,
+                decode_block_size=decode_block_size,
             )
             self.workers.append(worker)
             self.worker_threads.append(start_worker_thread(worker))

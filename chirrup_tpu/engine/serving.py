@@ -108,7 +108,8 @@ class ServingModel:
 
     def __init__(self, config: RWKV7Config, params, runtime: RuntimeConfig,
                  batch_size: int, prefill_chunk: int = 64, *,
-                 mesh=None, interpret_pallas: bool = False, seed: int = 0):
+                 mesh=None, batch_sharded_dp: bool = False,
+                 interpret_pallas: bool = False, seed: int = 0):
         self.config = config
         self.runtime = runtime
         self.batch_size = batch_size
@@ -152,8 +153,9 @@ class ServingModel:
                     return _shard_map(f, mesh=mesh, in_specs=in_specs,
                                       out_specs=out_specs, check_rep=False)
 
-            io = P(None, None, "tp")
-            rep = P(None)
+            bax = "dp" if batch_sharded_dp else None
+            io = P(bax, None, "tp")
+            rep = P(bax)
 
             def wkv_no_len(s, r, w, k, v, a, b, e):
                 return raw_wkv(s, r, w, k, v, a, b, e, None)
@@ -175,7 +177,8 @@ class ServingModel:
             self._wkv_fn = sharded_wkv
             self.params = jax.device_put(
                 self.params, pmesh.param_shardings(mesh, self.params))
-            self._carry_shardings = pmesh.carry_shardings(mesh)
+            self._carry_shardings = pmesh.carry_shardings(
+                mesh, batch_sharded=batch_sharded_dp)
 
         self._no_penalty_ids = jnp.asarray(sorted(NO_PENALTY_TOKEN_IDS), jnp.int32)
         self._seed = seed
@@ -183,6 +186,7 @@ class ServingModel:
         # params are explicit jit arguments — closing over them would embed the
         # weights as HLO constants (catastrophic compile times at multi-GB scale)
         self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(1,))
+        self._decode_block = jax.jit(self._decode_block_impl, donate_argnums=(1,))
         self._prefill_step = jax.jit(self._prefill_step_impl, donate_argnums=(1,))
         self._insert_slot = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
         self._reset_slot = jax.jit(self._reset_slot_impl, donate_argnums=(0,))
@@ -201,7 +205,7 @@ class ServingModel:
             occurrence=jnp.zeros((B, V), f32),
             presence_vec=jnp.zeros((B, V), f32),
             temperature=jnp.ones((B,), f32),
-            top_p=jnp.ones((B,), f32),
+            top_p=jnp.full((B,), 0.3, f32),
             top_k=jnp.zeros((B,), jnp.int32),
             frequency_penalty=jnp.zeros((B,), f32),
             presence_penalty=jnp.zeros((B,), f32),
@@ -252,7 +256,8 @@ class ServingModel:
 
         rng, key = jax.random.split(carry.rng)
         sampled = sample_logits_rwkv_pip_fast(
-            adj, carry.temperature, carry.top_p, carry.top_k, key)
+            adj, carry.temperature, carry.top_p, carry.top_k, key,
+            row_mask=decode_mask)
         sampled = jnp.where(decode_mask, sampled, -1)
 
         # record into penalty state (next step's decay applies first; worker.py:527)
@@ -267,6 +272,30 @@ class ServingModel:
             presence_vec=presence_vec, rng=rng,
             last_sampled=jnp.where(decode_mask, sampled, carry.last_sampled))
         return carry, sampled, raw_logits
+
+    def _decode_block_impl(self, params, carry: BatchCarry, host_tokens,
+                           feedback_mask, active_mask, decode_mask):
+        """K decode steps in ONE dispatch (lax.scan over the single-step body).
+
+        All per-step inputs are (K, B): host tokens for prefill feeds, masks for
+        the known-in-advance phase transitions. DECODE slots chain through the
+        on-device last_sampled, so K tokens are produced per host round-trip —
+        this amortizes dispatch latency that would otherwise dominate the step
+        (observed ~2x the device time through this environment's TPU tunnel).
+
+        Returns (carry, sampled (K, B) int32). Raw logits are not returned (a
+        (K, B, V) buffer is prohibitive); workers needing return_logits use
+        single steps.
+        """
+
+        def step(c, inp):
+            toks, fb, act, dec = inp
+            c, sampled, _ = self._decode_step_impl(params, c, toks, fb, act, dec)
+            return c, sampled
+
+        carry, sampled = jax.lax.scan(
+            step, carry, (host_tokens, feedback_mask, active_mask, decode_mask))
+        return carry, sampled
 
     def _prefill_step_impl(self, params, carry: BatchCarry, tokens, lengths):
         """Advance prefilling slots by up to `prefill_chunk` tokens each.
@@ -344,6 +373,13 @@ class ServingModel:
                                  jnp.asarray(feedback_mask),
                                  jnp.asarray(active_mask),
                                  jnp.asarray(decode_mask))
+
+    def decode_block(self, carry, tokens, feedback_mask, active_mask, decode_mask):
+        """K steps per dispatch; all args (K, B). Returns (carry, sampled (K, B))."""
+        return self._decode_block(self.params, carry, jnp.asarray(tokens),
+                                  jnp.asarray(feedback_mask),
+                                  jnp.asarray(active_mask),
+                                  jnp.asarray(decode_mask))
 
     def prefill_step(self, carry, tokens, lengths):
         return self._prefill_step(self.params, carry, tokens, lengths)

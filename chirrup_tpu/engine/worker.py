@@ -61,11 +61,12 @@ class SlotData:
 
 @dataclasses.dataclass
 class _PendingStep:
-    """A dispatched decode step whose sampled tokens have not been read yet."""
+    """A dispatched decode step/block whose sampled tokens have not been read yet."""
 
-    sampled: Any
-    raw_logits: Any
+    sampled: Any         # (B,) for single steps, (K, B) for blocks
+    raw_logits: Any      # (B, V) for single steps, None for blocks
     decode_slots: List[Tuple[int, str]]  # (slot index, task_id at dispatch)
+    block: int = 1       # number of steps this dispatch covered
 
 
 class Worker:
@@ -79,6 +80,7 @@ class Worker:
                  batch_size: int = 32,
                  min_forward_seq_len: int = 10,
                  decode_prefill_ratio: int = 5,
+                 decode_block_size: Optional[int] = None,
                  idle_sleep: float = 0.05):
         self.worker_id = worker_id
         self._model_factory = model_factory
@@ -90,6 +92,7 @@ class Worker:
         self.max_prefill_count = max(int(batch_size * 0.125), 1)
         self.min_forward_seq_len = min_forward_seq_len
         self.decode_prefill_ratio = decode_prefill_ratio
+        self.decode_block_size = decode_block_size  # None = auto (device-dependent)
         self.idle_sleep = idle_sleep
 
         self.slots: List[SlotData] = [SlotData() for _ in range(batch_size)]
@@ -108,6 +111,12 @@ class Worker:
     def _init_worker(self):
         self.model, self.tokenizer = self._model_factory()
         self.carry = self.model.init_carry()
+        if self.decode_block_size is None:
+            # dispatch latency >> step time on real accelerators behind an RPC
+            # tunnel; amortize it with multi-step blocks there, single-step on CPU
+            import jax
+            on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
+            self.decode_block_size = 8 if on_tpu else 1
         self._emit_worker_event("worker_loaded", {
             "status": "success",
             "worker_id": self.worker_id,
@@ -220,6 +229,80 @@ class Worker:
 
     # ---------------------------------------------------------------- forward
 
+    def _choose_block_size(self) -> int:
+        """K steps per dispatch, restricted to {1, K} so only two programs ever
+        compile. Falls to 1 when any slot needs per-step host involvement: a
+        pending cache-snapshot boundary within K steps, or return_logits."""
+        K = self.decode_block_size
+        if K <= 1:
+            return 1
+        for slot in self.slots:
+            if slot.phase not in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL):
+                continue
+            task = slot.task
+            if task.return_logits:
+                return 1
+            if slot.phase == SlotPhase.ONE_PREFILL:
+                if task.cache_prefill and not slot.prefill_cached:
+                    steps_to_boundary = len(task.prefill_tokens) - slot.pad()
+                    if 0 < steps_to_boundary < K:
+                        return 1
+        return K
+
+    def _dispatch_decode_block(self, K: int):
+        """Plan and dispatch K decode steps in one jitted call. Prefill feeds and
+        phase transitions are host-known K steps ahead; DECODE inputs chain through
+        the device-resident last_sampled."""
+        B = self.batch_size
+        tokens = np.zeros((K, B), np.int32)
+        feedback = np.zeros((K, B), bool)
+        active = np.zeros((K, B), bool)
+        decode = np.zeros((K, B), bool)
+        decode_slots: List[Tuple[int, str]] = []
+
+        n_active = n_decode = 0
+        for idx, slot in enumerate(self.slots):
+            if slot.phase not in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL):
+                continue
+            task = slot.task
+            n_active += 1
+            phase = slot.phase
+            if phase == SlotPhase.DECODE:
+                n_decode += 1
+                decode_slots.append((idx, task.task_id))
+            for k in range(K):
+                active[k, idx] = True
+                if phase == SlotPhase.ONE_PREFILL:
+                    tokens[k, idx] = slot.next_input
+                    slot.prefilled_tokens.append(slot.next_input)
+                    slot.next_input = task.prefill_tokens.pop(0)
+                    if len(task.prefill_tokens) == 0:
+                        phase = SlotPhase.DECODE
+                else:
+                    decode[k, idx] = True
+                    if slot.use_feedback:
+                        feedback[k, idx] = True
+                    else:
+                        tokens[k, idx] = slot.next_input
+                        slot.use_feedback = True
+            if phase == SlotPhase.DECODE and slot.phase == SlotPhase.ONE_PREFILL:
+                slot.phase = SlotPhase.DECODE
+                decode_slots.append((idx, task.task_id))
+
+        self.carry, sampled = self.model.decode_block(
+            self.carry, tokens, feedback, active, decode)
+
+        # snapshot boundaries align with block ends by construction
+        for idx, slot in enumerate(self.slots):
+            if slot.task is not None and not slot.prefill_cached \
+                    and slot.task.cache_prefill \
+                    and slot.phase in (SlotPhase.ONE_PREFILL, SlotPhase.DECODE):
+                self._maybe_snapshot(idx)
+
+        self._pending = _PendingStep(sampled=sampled, raw_logits=None,
+                                     decode_slots=decode_slots, block=K)
+        return n_active, n_decode
+
     def _dispatch_decode_step(self):
         """Dispatch one token step for every DECODE + ONE_PREFILL slot.
 
@@ -276,28 +359,35 @@ class Worker:
         if pending is None:
             return
         sampled_np = np.asarray(jax.device_get(pending.sampled))
+        if sampled_np.ndim == 1:
+            sampled_np = sampled_np[None, :]
         for idx, task_id in pending.decode_slots:
             slot = self.slots[idx]
             task = slot.task
             if task is None or task.task_id != task_id or task.is_finished():
                 continue  # slot was reset/aborted while the step was in flight
-            new_token = int(sampled_np[idx])
-            if new_token in task.stop_tokens:
-                task.request_status = RequestStatus.FINISHED_STOPPED
-                continue
-            new_text = slot.decoder.push(new_token)
-            task.generated_tokens.append(new_token)
-            task.decoded_texts.append(new_text)
-            if task.return_logits:
-                logits_row = np.asarray(
-                    jax.device_get(pending.raw_logits[idx]), np.float32)
-                task.output_queue.put_nowait(
-                    ("token_generated", (new_token, new_text, logits_row)))
-            else:
-                task.output_queue.put_nowait(("token_generated", (new_token, new_text)))
-            if task.max_tokens is not None \
-                    and len(task.generated_tokens) >= task.max_tokens:
-                task.request_status = RequestStatus.FINISHED_LENGTH_CAPPED
+            for k in range(sampled_np.shape[0]):
+                new_token = int(sampled_np[k, idx])
+                if new_token < 0:
+                    continue  # slot was still prefilling at step k of the block
+                if new_token in task.stop_tokens:
+                    task.request_status = RequestStatus.FINISHED_STOPPED
+                    break
+                new_text = slot.decoder.push(new_token)
+                task.generated_tokens.append(new_token)
+                task.decoded_texts.append(new_text)
+                if task.return_logits and pending.raw_logits is not None:
+                    logits_row = np.asarray(
+                        jax.device_get(pending.raw_logits[idx]), np.float32)
+                    task.output_queue.put_nowait(
+                        ("token_generated", (new_token, new_text, logits_row)))
+                else:
+                    task.output_queue.put_nowait(
+                        ("token_generated", (new_token, new_text)))
+                if task.max_tokens is not None \
+                        and len(task.generated_tokens) >= task.max_tokens:
+                    task.request_status = RequestStatus.FINISHED_LENGTH_CAPPED
+                    break
 
     def _run_prefill_step(self):
         """One ragged chunk for every SEQ_PREFILL slot (reference _run_forward_seq,
@@ -358,9 +448,13 @@ class Worker:
 
         decode_count = one_prefill_count = seq_count = 0
         if n_active > 0:
-            total, decode_count = self._dispatch_decode_step()
+            K = self._choose_block_size()
+            if K > 1:
+                total, decode_count = self._dispatch_decode_block(K)
+            else:
+                total, decode_count = self._dispatch_decode_step()
             one_prefill_count = total - decode_count
-            self._seq_countdown -= 1
+            self._seq_countdown -= K
         else:
             self._seq_countdown = 0
 

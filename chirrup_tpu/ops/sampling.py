@@ -71,7 +71,7 @@ def sample_logits_rwkv_pip_compatible(logits, temperature, top_p, top_k, rng_key
 
 @functools.partial(jax.jit, static_argnames=("k_max",))
 def sample_logits_rwkv_pip_fast(logits, temperature, top_p, top_k, rng_key,
-                                k_max: int = 1024):
+                                row_mask=None, k_max: int = 1024):
     """Fast path: identical distribution to sample_logits_rwkv_pip_compatible, but
     operating on the top-k_max probabilities instead of a full 65536-wide sort
     (a ~10x step-time win — the full sort dominated the serving step).
@@ -99,7 +99,12 @@ def sample_logits_rwkv_pip_fast(logits, temperature, top_p, top_k, rng_key,
 
     covered = cum[:, -1:] >= top_p_eff            # cutoff falls inside top-k_max
     k_ok = top_k <= k_max
-    need_exact = jnp.any(~covered | ~k_ok)
+    need = ~covered | ~k_ok
+    if row_mask is not None:
+        # rows not actually being sampled (masked slots with garbage logits/params)
+        # must not force the exact path
+        need = need & row_mask.reshape(B, 1)
+    need_exact = jnp.any(need)
 
     def fast(_):
         cutoff_pos = jnp.sum((cum < top_p_eff).astype(jnp.int32), axis=-1,

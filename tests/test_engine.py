@@ -215,3 +215,32 @@ def test_resume_from_state(engine_setup):
 
     toks1, toks2 = loop.run_until_complete(asyncio.wait_for(go(), 120))
     assert toks1 == toks2
+
+
+def test_decode_blocks_match_single_steps(vocab_path):
+    """K-step decode blocks must produce the same greedy tokens as K=1."""
+    import asyncio as aio
+    from chirrup_tpu.engine.engine import AsyncEngineCore as Engine
+
+    prompt = "hello world the quick brown fox says hello to the lazy world dog"
+    results = {}
+    for K in (1, 4):
+        loop = aio.new_event_loop()
+        engine = Engine()
+        cfg = synthetic_model_config(vocab_path)
+        loop.run_until_complete(aio.wait_for(
+            engine.init(worker_num=1, model_config=cfg, batch_size=4,
+                        load_timeout=180, decode_block_size=K), timeout=200))
+
+        async def go():
+            completion = engine.completion(
+                prompt, temperature=0.0, max_tokens=7,
+                presence_penalty=0.0, frequency_penalty=0.0, stop_tokens=[0])
+            return [e[1] async for e in completion if e[0] == "token"]
+
+        results[K] = loop.run_until_complete(aio.wait_for(go(), 120))
+        engine.shutdown()
+        engine.join(timeout=10)
+        loop.close()
+    assert results[1] == results[4]
+    assert len(results[1]) >= 1
