@@ -125,7 +125,8 @@ class ServingModel:
             def raw_wkv(s, r, w, k, v, a, b, e, lengths):
                 return wkv7_pallas.wkv7_pallas_batch(
                     s, r, w, k, v, a, b, e, lengths=lengths,
-                    use_dither=runtime.use_dither, interpret=interpret_pallas)
+                    use_dither=runtime.use_dither, interpret=interpret_pallas,
+                    precision=runtime.wkv_precision)
         else:
             def raw_wkv(s, r, w, k, v, a, b, e, lengths):
                 return wkv7_ref.wkv7_reference_batch(

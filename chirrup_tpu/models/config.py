@@ -63,3 +63,6 @@ class RuntimeConfig:
     quantization: Optional[str] = None
     # use the Pallas WKV kernel (False falls back to the lax.scan reference impl)
     use_pallas_wkv: bool = True
+    # in-kernel reduction precision: "highest" (multi-pass f32) or "default"
+    # (bf16-rounded MXU inputs — still above the reference's fp16 accumulation)
+    wkv_precision: str = "default"

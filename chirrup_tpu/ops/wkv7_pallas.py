@@ -42,16 +42,17 @@ def _dither_scalar(step_i32):
     return jax.lax.bitcast_convert_type(u, jnp.int32).astype(jnp.float32) * _DITHER_SCALE
 
 
-def _dot32(x, y):
-    """f32 matmul at full precision. TPU MXU (and its interpret-mode emulation)
-    rounds f32 dot inputs to bf16 by default; the state recurrence wants the real
-    thing (still far more precise than the reference's fp16 accumulation)."""
-    return jnp.dot(x, y, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+def _dot32(x, y, precision=jax.lax.Precision.HIGHEST):
+    """f32 matmul with f32 accumulation. TPU MXU (and its interpret-mode emulation)
+    rounds f32 dot INPUTS to bf16 at default precision; HIGHEST runs multi-pass
+    full-f32. Even the default exceeds the reference kernel's fp16 accumulation
+    (cuda kernel :65-81), so serving may trade passes for speed."""
+    return jnp.dot(x, y, preferred_element_type=jnp.float32, precision=precision)
 
 
 def _wkv7_kernel(elapsed_ref, length_ref, state_ref, r_ref, w_ref, k_ref, a_ref,
-                 b_ref, v2_ref, y2_ref, state_out_ref, *, T, use_dither):
+                 b_ref, v2_ref, y2_ref, state_out_ref, *, T, use_dither,
+                 precision):
     b = pl.program_id(0)
     HN = state_ref.shape[2]
     H = HN // _N
@@ -81,11 +82,11 @@ def _wkv7_kernel(elapsed_ref, length_ref, state_ref, r_ref, w_ref, k_ref, a_ref,
         if use_dither:
             d_row = d_row + _dither_scalar(elapsed + t)
 
-        sa = _dot32(S * a_row, seg)       # (N, H)
-        sa_exp = _dot32(sa, segT)         # (N, HN)
-        v_exp = _dot32(v_nh, segT)        # (N, HN)
+        sa = _dot32(S * a_row, seg, precision)       # (N, H)
+        sa_exp = _dot32(sa, segT, precision)         # (N, HN)
+        v_exp = _dot32(v_nh, segT, precision)        # (N, HN)
         S_new = S + S * d_row + v_exp * k_row + sa_exp * b_row
-        y = _dot32(S_new * r_row, seg)    # (N, H)
+        y = _dot32(S_new * r_row, seg, precision)    # (N, H)
         y2_ref[0, t] = jnp.where(active, y, 0.0).astype(y2_ref.dtype)
         return jnp.where(active, S_new, S)
 
@@ -93,9 +94,10 @@ def _wkv7_kernel(elapsed_ref, length_ref, state_ref, r_ref, w_ref, k_ref, a_ref,
     state_out_ref[0] = S_fin.astype(state_out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("use_dither", "interpret"))
+@functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
+                                              "precision"))
 def _wkv7_pallas_call(state, r, w_raw, k, a, b, v2, elapsed, lengths, *,
-                      use_dither=True, interpret=False):
+                      use_dither=True, interpret=False, precision="highest"):
     B, T, HN = r.shape
     N = _N
     H = HN // N
@@ -118,7 +120,10 @@ def _wkv7_pallas_call(state, r, w_raw, k, a, b, v2, elapsed, lengths, *,
         ],
     )
 
-    kernel = functools.partial(_wkv7_kernel, T=T, use_dither=use_dither)
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_wkv7_kernel, T=T, use_dither=use_dither,
+                               precision=prec)
     y2, state_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -139,7 +144,7 @@ def _wkv7_pallas_call(state, r, w_raw, k, a, b, v2, elapsed, lengths, *,
 
 
 def wkv7_pallas_batch(state, r, w_raw, k, v, a, b, elapsed, *, lengths=None,
-                      use_dither=True, interpret=False):
+                      use_dither=True, interpret=False, precision="highest"):
     """Drop-in replacement for ops.wkv7.wkv7_reference_batch.
 
     state: (B, N, H*N); r..b: (B, T, C=H*N); elapsed: (B,) int32;
@@ -154,6 +159,7 @@ def wkv7_pallas_batch(state, r, w_raw, k, v, a, b, elapsed, *, lengths=None,
     v2 = v.reshape(B, T, H, N).transpose(0, 1, 3, 2)
     y2, new_state = _wkv7_pallas_call(
         state, r, w_raw, k, a, b, v2, elapsed.astype(jnp.int32),
-        lengths.astype(jnp.int32), use_dither=use_dither, interpret=interpret)
+        lengths.astype(jnp.int32), use_dither=use_dither, interpret=interpret,
+        precision=precision)
     y = y2.transpose(0, 1, 3, 2).reshape(B, T, C)
     return y, new_state
