@@ -1,8 +1,9 @@
 """Headline benchmark: continuous-batching decode throughput on one TPU chip.
 
-Runs the REAL serving decode step (full RWKV-7 7.2B-dimension model, INT8 mm8
-weights, Pallas WKV7 kernel, fp16 recurrent state, penalties + rwkv-pip-compatible
-sampling, per-step host sync of sampled tokens) at batch 200 — the reference's
+Runs the REAL serving decode path (full RWKV-7 7.2B-dimension model, INT8 mm8
+weights, Pallas WKV7 kernel, bf16 recurrent state, penalties + rwkv-pip-compatible
+sampling, K-step decode blocks with pipelined host sync — the worker's exact
+dispatch pattern) at batch 200 — the reference's
 per-GPU serving configuration (4 workers x bsz 200 on 4x RTX 4090,
 /root/reference/README.md:17-19, 16 tok/s/request => 3200 tok/s aggregate per GPU
 at 7.2B fp16).
@@ -87,7 +88,8 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="1.5B-ish config for quick checks")
     ap.add_argument("--batch", type=int, default=0)
-    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--block", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -134,36 +136,42 @@ def main():
     for slot in range(min(2, batch)):  # spot-configure a couple; rest default
         carry = model.insert_slot(carry, slot, None, _T())
 
-    tokens = np.random.default_rng(0).integers(1, 60000, batch).astype(np.int32)
-    active = np.ones((batch,), bool)
-    decode = np.ones((batch,), bool)
+    K = args.block
+    tokens = np.random.default_rng(0).integers(1, 60000, (K, batch)).astype(np.int32)
+    ones = np.ones((K, batch), bool)
+    feedback = ones.copy()
+    feedback[0, :] = False  # first step feeds host tokens, rest chain on device
 
     t0 = time.time()
-    carry, sampled, _ = model.decode_step(carry, jnp.asarray(tokens),
-                                          jnp.asarray(active),
-                                          jnp.asarray(decode))
+    carry, sampled = model.decode_block(carry, jnp.asarray(tokens),
+                                        jnp.asarray(feedback), jnp.asarray(ones),
+                                        jnp.asarray(ones))
     jax.block_until_ready(sampled)
-    print(f"# first step (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# first block (compile) {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # warmup
-    for _ in range(3):
-        carry, sampled, _ = model.decode_step(carry, jnp.asarray(tokens),
-                                              jnp.asarray(active),
-                                              jnp.asarray(decode))
-        tokens = np.maximum(np.asarray(jax.device_get(sampled)), 1).astype(np.int32)
+    fb_all = jnp.asarray(np.ones((K, batch), bool))
+    ones_j = jnp.asarray(ones)
+    # warmup + pipelined measurement, exactly the worker's dispatch pattern:
+    # dispatch block N+1, then read block N's tokens
+    prev = None
+    for _ in range(2):
+        carry, sampled = model.decode_block(carry, tokens, fb_all, ones_j, ones_j)
+    jax.block_until_ready(sampled)
 
+    nblocks = max(args.steps // K, 3)
     t0 = time.time()
-    for _ in range(args.steps):
-        carry, sampled, _ = model.decode_step(carry, jnp.asarray(tokens),
-                                              jnp.asarray(active),
-                                              jnp.asarray(decode))
-        # per-step host sync, as serving does
-        tokens = np.maximum(np.asarray(jax.device_get(sampled)), 1).astype(np.int32)
+    for _ in range(nblocks):
+        carry, sampled = model.decode_block(carry, tokens, fb_all, ones_j, ones_j)
+        if prev is not None:
+            _ = np.asarray(jax.device_get(prev))
+        prev = sampled
+    _ = np.asarray(jax.device_get(prev))
     dt = time.time() - t0
 
-    step_ms = dt / args.steps * 1000
-    agg = batch * args.steps / dt
-    per_req = args.steps / dt
+    n_tok = nblocks * K
+    step_ms = dt / n_tok * 1000
+    agg = batch * n_tok / dt
+    per_req = n_tok / dt
     print(f"# step {step_ms:.2f} ms | {agg:.0f} tok/s aggregate | "
           f"{per_req:.1f} tok/s/request", file=sys.stderr)
 
@@ -171,7 +179,8 @@ def main():
     wkv_path = "pallas WKV" if on_tpu else "lax.scan WKV"
     print(json.dumps({
         "metric": f"decode tokens/s/chip, RWKV-7 {size} INT8 ({wkv_path} + mm8 + "
-                  f"sampling + penalties), batch {batch}, per-step host sync",
+                  f"sampling + penalties), batch {batch}, {K}-step blocks, "
+                  f"pipelined host sync",
         "value": round(agg, 1),
         "unit": "tok/s",
         "vs_baseline": round(agg / BASELINE_PER_GPU_TOKS, 3),
