@@ -75,8 +75,13 @@ def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
             cfg = RWKV7Config(**model_config.synthetic_config)
             params = loader.synthetic_params(cfg, seed=seed)
         else:
-            cfg, params = loader.load_model(model_config.model_path,
-                                            vocab_size=model_config.vocab_size)
+            from chirrup_tpu.models import checkpoint as ckpt
+
+            if ckpt.is_native_checkpoint(model_config.model_path):
+                cfg, params = ckpt.load_native(model_config.model_path)
+            else:
+                cfg, params = loader.load_model(model_config.model_path,
+                                                vocab_size=model_config.vocab_size)
         if device is not None:
             params = jax.device_put(params, device)
         # off TPU, the lax.scan WKV is far faster than interpret-mode pallas

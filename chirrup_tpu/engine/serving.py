@@ -116,8 +116,13 @@ class ServingModel:
         self.prefill_chunk = prefill_chunk
         self._interpret = interpret_pallas
         self.mesh = mesh
+        mm8.set_default_core(runtime.mm8_core)
 
-        if runtime.quantization == "int8":
+        already_quantized = any(
+            isinstance(leaf, mm8.Mm8Weight)
+            for leaf in jax.tree_util.tree_leaves(
+                params, is_leaf=lambda x: isinstance(x, mm8.Mm8Weight)))
+        if runtime.quantization == "int8" and not already_quantized:
             params = _quantize_params(params)
         self.params = _cast_params(params, runtime.activation_dtype)
 
@@ -258,7 +263,8 @@ class ServingModel:
         rng, key = jax.random.split(carry.rng)
         sampled = sample_logits_rwkv_pip_fast(
             adj, carry.temperature, carry.top_p, carry.top_k, key,
-            row_mask=decode_mask)
+            row_mask=decode_mask, k_max=self.runtime.sampler_k_max,
+            approx=self.runtime.sampler_approx_topk)
         sampled = jnp.where(decode_mask, sampled, -1)
 
         # record into penalty state (next step's decay applies first; worker.py:527)

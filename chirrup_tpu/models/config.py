@@ -66,3 +66,12 @@ class RuntimeConfig:
     # in-kernel reduction precision: "highest" (multi-pass f32) or "default"
     # (bf16-rounded MXU inputs — still above the reference's fp16 accumulation)
     wkv_precision: str = "default"
+    # top-k candidate selection in the serving sampler: True uses the TPU-native
+    # approx_max_k (exact top_k lowers to a full 65536-wide sort — it alone was
+    # ~27% of a decode step). The exact full-sort fallback still guards top_p
+    # coverage either way, and temp=0 greedy rows are always exact.
+    sampler_approx_topk: bool = True
+    sampler_k_max: int = 1024
+    # inner int8 GEMM: "auto" (backend-based), "pallas" (fused in-VMEM dequant),
+    # or "xla" (plain dot on converted weights)
+    mm8_core: str = "auto"

@@ -151,14 +151,23 @@ def _cmix(ffn, x, shift_prev, lengths):
 
 
 def _backbone(params, x, state: RWKVState, lengths, wkv_fn):
-    """Run all layers via lax.scan over stacked block weights; returns final hidden
-    and the new per-layer states."""
+    """Run all layers with the recurrent state updated IN PLACE.
+
+    A lax.scan with the state as xs/ys would allocate a fresh stacked ys buffer
+    every call — inside the engine's multi-step decode scan that cost a full
+    state copy per token (~0.4 GB at 1.5B, profiled at ~10% of the step). Instead
+    the whole (L, ...) state rides the fori_loop carry and each layer
+    dynamic-update-slices its slab, which XLA keeps in the donated input buffer."""
     L = state.wkv.shape[0]
     blocks = params["blocks"]
 
-    def layer_step(carry, inp):
-        xc, v_first = carry
-        blk, shift_l, wkv_l, li = inp
+    def layer_step(li, carry):
+        xc, v_first, shift, wkv = carry
+        blk = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+            blocks)
+        shift_l = jax.lax.dynamic_index_in_dim(shift, li, 0, keepdims=False)
+        wkv_l = jax.lax.dynamic_index_in_dim(wkv, li, 0, keepdims=False)
         is_first = (li == 0)
         xn = layer_norm(xc, blk["ln1_w"], blk["ln1_b"])
         att_out, att_shift, v_first, wkv_new = _tmix(
@@ -168,13 +177,16 @@ def _backbone(params, x, state: RWKVState, lengths, wkv_fn):
         xn = layer_norm(xc, blk["ln2_w"], blk["ln2_b"])
         ffn_out, ffn_shift = _cmix(blk["ffn"], xn, shift_l[1], lengths)
         xc = xc + ffn_out
-        new_shift = jnp.stack([att_shift, ffn_shift])
-        return (xc, v_first), (new_shift, wkv_new)
+        new_shift_l = jnp.stack([att_shift, ffn_shift])
+        shift = jax.lax.dynamic_update_index_in_dim(
+            shift, new_shift_l.astype(shift.dtype), li, 0)
+        wkv = jax.lax.dynamic_update_index_in_dim(
+            wkv, wkv_new.astype(wkv.dtype), li, 0)
+        return xc, v_first, shift, wkv
 
     v_first0 = jnp.zeros_like(x)
-    (x_out, _), (new_shift, new_wkv) = jax.lax.scan(
-        layer_step, (x, v_first0),
-        (blocks, state.shift, state.wkv, jnp.arange(L, dtype=jnp.int32)))
+    x_out, _, new_shift, new_wkv = jax.lax.fori_loop(
+        0, L, layer_step, (x, v_first0, state.shift, state.wkv))
     return x_out, new_shift, new_wkv
 
 

@@ -93,18 +93,45 @@ def dequantize(w: Mm8Weight):
 
 
 def _int8_core_xla(xs, q):
-    """(B?, K) @ (K, M) int8 via XLA convert-fused dot, f32 accumulation."""
+    """(B?, K) @ (K, M) int8 via XLA dot. NOTE: XLA:TPU materializes the bf16
+    convert of q in HBM (3x weight traffic) — the Pallas core avoids that."""
     return jnp.dot(xs, q.astype(xs.dtype), preferred_element_type=jnp.float32)
+
+
+_DEFAULT_CORE = "auto"  # "auto" | "pallas" | "xla" — trace-time module default
+
+
+def set_default_core(name: str) -> None:
+    """Select the inner int8 GEMM used when mm8_matmul gets core=None. Resolved at
+    trace time; ServingModel sets it from RuntimeConfig.mm8_core before tracing."""
+    global _DEFAULT_CORE
+    assert name in ("auto", "pallas", "xla"), name
+    _DEFAULT_CORE = name
+
+
+def _int8_core_auto(xs, q):
+    """Pallas fused-dequant core on TPU when shapes tile; XLA otherwise."""
+    want_pallas = (_DEFAULT_CORE == "pallas"
+                   or (_DEFAULT_CORE == "auto"
+                       and jax.default_backend() in ("tpu", "axon")))
+    if want_pallas:
+        from chirrup_tpu.ops.mm8_pallas import mm8_core_pallas, mm8_core_supported
+
+        B, K = xs.shape
+        M = q.shape[1]
+        if mm8_core_supported(B, K, M):
+            return mm8_core_pallas(xs, q)
+    return _int8_core_xla(xs, q)
 
 
 def mm8_matmul(x, w: Mm8Weight, *, core=None):
     """Decomposed-dequant matmul. x: (..., K) float; returns (..., M) in x.dtype.
 
-    `core` overrides the inner int8 GEMM (e.g. the Pallas kernel); defaults to the
-    XLA path which fuses the int8->bf16 convert into the MXU dot.
+    `core` overrides the inner int8 GEMM; default picks the Pallas fused-dequant
+    kernel on TPU (1 byte/weight HBM traffic) and the XLA dot elsewhere.
     """
     if core is None:
-        core = _int8_core_xla
+        core = _int8_core_auto
     in_dtype = x.dtype
     K = x.shape[-1]
     lead = x.shape[:-1]
