@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import os
 import queue
 import threading
 import time
@@ -488,6 +489,17 @@ class Worker:
             self._emit_worker_event("worker_loaded", {
                 "status": "error", "worker_id": self.worker_id, "error": str(exc)})
             return
+        # device-level tracing across the serving loop, written at shutdown —
+        # the jax.profiler equivalent of the reference's pyinstrument-in-the-
+        # worker-loop (reference worker.py:788-790, 886-887; SURVEY §5)
+        profile_dir = os.environ.get("CHIRRUP_TPU_PROFILE_DIR")
+        if profile_dir:
+            try:
+                jax.profiler.start_trace(
+                    os.path.join(profile_dir, self.worker_id))
+            except Exception as exc:  # noqa: BLE001 — profiling must never kill serving
+                print(f"[{self.worker_id}] profiler unavailable: {exc}")
+                profile_dir = None
         while True:
             if self._process_master_events():
                 break
@@ -504,6 +516,13 @@ class Worker:
                 continue
             if not did_work:
                 time.sleep(self.idle_sleep)
+        if profile_dir:
+            try:
+                jax.profiler.stop_trace()
+                print(f"[{self.worker_id}] profiler trace written under "
+                      f"{profile_dir}")
+            except Exception:
+                pass
         self._cleanup()
 
     def _abort_all_tasks(self, exc: Exception):

@@ -28,24 +28,28 @@ def _pick_tile(dim: int, candidates) -> int:
     return 0
 
 
-def _mm8_kernel(x_ref, q_ref, o_ref, acc_ref, *, n_k):
-    k = pl.program_id(1)
+def _mm8_kernel(x_ref, q_ref, o_ref, *, n_k):
+    """x stays fully VMEM-resident (index_map constant); q streams tile by tile.
+    The k-reduction runs as n_k statically-unrolled sub-dots over the resident x,
+    so HBM traffic is exactly the int8 weight bytes + one f32 output write."""
+    x = x_ref[:]
+    bk = x.shape[1] // n_k
+    acc = jnp.dot(x[:, :bk], q_ref[:bk].astype(x.dtype),
+                  preferred_element_type=jnp.float32)
+    for i in range(1, n_k):
+        acc += jnp.dot(x[:, i * bk:(i + 1) * bk],
+                       q_ref[i * bk:(i + 1) * bk].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    o_ref[:] = acc
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(x_ref[:], q_ref[:].astype(x_ref.dtype),
-                          preferred_element_type=jnp.float32)
-
-    @pl.when(k == n_k - 1)
-    def _():
-        o_ref[:] = acc_ref[:]
+# x (B, K) kept whole in VMEM: B<=256, K<=16384 bf16 = 8MB max — fits comfortably
+_MAX_RESIDENT_X = 256 * 16384
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mm8_core_pallas(xs, q, *, interpret=False):
-    """(B, K) float x (K, M) int8 -> (B, M) f32 with in-register dequant.
+    """(B, K) float x (K, M) int8 -> (B, M) f32 with in-VMEM dequant.
 
     Shapes must tile (K, M by the chosen block sizes); callers fall back to the XLA
     path otherwise (ops/mm8.mm8_matmul handles the dispatch).
@@ -53,26 +57,30 @@ def mm8_core_pallas(xs, q, *, interpret=False):
     B, K = xs.shape
     K2, M = q.shape
     assert K == K2
-    bk = _pick_tile(K, (2048, 1280, 1024, 512, 256, 128))
-    bm = _pick_tile(M, (1024, 512, 256, 128))
-    if not bk or not bm:
-        raise ValueError(f"untileable mm8 shapes K={K} M={M}")
-    n_k = K // bk
+    # q tile (K, bm) ~<=8MB int8 so double-buffered DMAs fit VMEM alongside x
+    budget = 8 * 1024 * 1024
+    bm = _pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
+                             if K * c <= budget))
+    if not bm or B * K > _MAX_RESIDENT_X:
+        raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
+    n_k = max(K // 2048, 1)
 
     kernel = functools.partial(_mm8_kernel, n_k=n_k)
     return pl.pallas_call(
         kernel,
-        grid=(M // bm, n_k),
+        grid=(M // bm,),
         in_specs=[
-            pl.BlockSpec((B, bk), lambda m, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bm), lambda m, k: (k, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bm), lambda m: (0, m), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, bm), lambda m, k: (0, m),
+        out_specs=pl.BlockSpec((B, bm), lambda m: (0, m),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, bm), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary",),
+            # resident x + double-buffered q tiles exceed the 16MB scoped-vmem
+            # default; v5e has 128MB physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * M,
             bytes_accessed=K * M + B * K * xs.dtype.itemsize + B * M * 4,
@@ -83,5 +91,7 @@ def mm8_core_pallas(xs, q, *, interpret=False):
 
 
 def mm8_core_supported(B: int, K: int, M: int) -> bool:
-    return bool(_pick_tile(K, (2048, 1280, 1024, 512, 256, 128))
-                and _pick_tile(M, (1024, 512, 256, 128)))
+    budget = 8 * 1024 * 1024
+    return bool(_pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
+                                    if K * c <= budget))
+                and B * K <= _MAX_RESIDENT_X)

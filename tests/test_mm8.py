@@ -86,3 +86,22 @@ def test_mm8_3d_input(rng):
     assert y.shape == (2, 3, 128)
     y2d = np.asarray(mm8_matmul(jnp.asarray(x.reshape(6, 64)), quantize(w)))
     np.testing.assert_allclose(y.reshape(6, 128), y2d, rtol=1e-6)
+
+
+def test_pallas_core_matches_xla_core(rng):
+    """Fused in-VMEM dequant GEMM (interpret mode) vs the plain XLA int8 dot."""
+    import jax
+    from chirrup_tpu.ops.mm8_pallas import mm8_core_pallas, mm8_core_supported
+
+    for B, K, M in ((8, 256, 256), (16, 2048, 512), (64, 4096, 128)):
+        assert mm8_core_supported(B, K, M)
+        xs = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+        q = jnp.asarray(rng.integers(-128, 128, (K, M)), jnp.int8)
+        ref = jnp.dot(xs, q.astype(xs.dtype), preferred_element_type=jnp.float32)
+        out = mm8_core_pallas(xs, q, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-2)
+
+    # untileable / oversized shapes are refused (callers fall back to XLA)
+    assert not mm8_core_supported(8, 256, 192)
+    assert not mm8_core_supported(512, 65536, 256)
