@@ -116,7 +116,13 @@ class ServingModel:
         self.prefill_chunk = prefill_chunk
         self._interpret = interpret_pallas
         self.mesh = mesh
-        mm8.set_default_core(runtime.mm8_core)
+        if mesh is not None and runtime.mm8_core == "auto":
+            # the pallas mm8 core is not shard_map-wrapped (yet); under GSPMD it
+            # would force a gather of the sharded weights. XLA partitions its own
+            # dot fine.
+            mm8.set_default_core("xla")
+        else:
+            mm8.set_default_core(runtime.mm8_core)
 
         already_quantized = any(
             isinstance(leaf, mm8.Mm8Weight)
@@ -127,16 +133,21 @@ class ServingModel:
         self.params = _cast_params(params, runtime.activation_dtype)
 
         if runtime.use_pallas_wkv:
-            def raw_wkv(s, r, w, k, v, a, b, e, lengths):
+            def raw_wkv(s, r, w, k, v, a, b, e, lengths, layer):
+                # s is the stacked (L, B, N, HN) state; the kernel advances only
+                # layer's slab in place (prefetched index, zero slicing copies)
                 return wkv7_pallas.wkv7_pallas_batch(
-                    s, r, w, k, v, a, b, e, lengths=lengths,
+                    s, r, w, k, v, a, b, e, lengths=lengths, layer=layer,
                     use_dither=runtime.use_dither, interpret=interpret_pallas,
                     precision=runtime.wkv_precision)
         else:
-            def raw_wkv(s, r, w, k, v, a, b, e, lengths):
-                return wkv7_ref.wkv7_reference_batch(
-                    s, r, w, k, v, a, b, e, use_dither=runtime.use_dither,
+            def raw_wkv(s, r, w, k, v, a, b, e, lengths, layer):
+                s_l = jax.lax.dynamic_index_in_dim(s, layer, 0, keepdims=False)
+                y, new_l = wkv7_ref.wkv7_reference_batch(
+                    s_l, r, w, k, v, a, b, e, use_dither=runtime.use_dither,
                     lengths=lengths)
+                return y, jax.lax.dynamic_update_index_in_dim(
+                    s, new_l.astype(s.dtype), layer, 0)
 
         if mesh is None:
             self._wkv_fn = raw_wkv
@@ -160,25 +171,26 @@ class ServingModel:
                                       out_specs=out_specs, check_rep=False)
 
             bax = "dp" if batch_sharded_dp else None
-            io = P(bax, None, "tp")
+            io = P(bax, None, "tp")          # activations r/w/k/v/a/b + y
+            st = P(None, bax, None, "tp")    # stacked (L, B, N, HN) state
             rep = P(bax)
 
-            def wkv_no_len(s, r, w, k, v, a, b, e):
-                return raw_wkv(s, r, w, k, v, a, b, e, None)
-
             sharded_with_len = smap(
-                lambda s, r, w, k, v, a, b, e, ln: raw_wkv(s, r, w, k, v, a, b, e, ln),
-                in_specs=(io, io, io, io, io, io, io, rep, rep),
-                out_specs=(io, io))
+                lambda s, r, w, k, v, a, b, e, ln, li: raw_wkv(
+                    s, r, w, k, v, a, b, e, ln, li),
+                in_specs=(st, io, io, io, io, io, io, rep, rep, P()),
+                out_specs=(io, st))
             sharded_no_len = smap(
-                wkv_no_len,
-                in_specs=(io, io, io, io, io, io, io, rep),
-                out_specs=(io, io))
+                lambda s, r, w, k, v, a, b, e, li: raw_wkv(
+                    s, r, w, k, v, a, b, e, None, li),
+                in_specs=(st, io, io, io, io, io, io, rep, P()),
+                out_specs=(io, st))
 
-            def sharded_wkv(s, r, w, k, v, a, b, e, lengths):
+            def sharded_wkv(s, r, w, k, v, a, b, e, lengths, layer):
+                li = jnp.asarray(layer, jnp.int32)
                 if lengths is None:
-                    return sharded_no_len(s, r, w, k, v, a, b, e)
-                return sharded_with_len(s, r, w, k, v, a, b, e, lengths)
+                    return sharded_no_len(s, r, w, k, v, a, b, e, li)
+                return sharded_with_len(s, r, w, k, v, a, b, e, lengths, li)
 
             self._wkv_fn = sharded_wkv
             self.params = jax.device_put(

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from chirrup_tpu.models.config import RWKV7Config
+from chirrup_tpu.ops import mm8
 from chirrup_tpu.ops.linear import matmul
 from chirrup_tpu.ops import wkv7 as wkv7_ops
 
@@ -97,9 +98,13 @@ def _masked_last(x, lengths, prev):
 # ---------------------------------------------------------------------------------
 # blocks
 
-def _tmix(att, layer_is_first, x, shift_prev, v_first, wkv_state, elapsed, lengths,
-          wkv_fn):
-    """Time-mix. Reference: RWKV_x070_TMix_seq_batch (Albatross/rwkv7.py:619-649)."""
+def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
+          lengths, wkv_fn):
+    """Time-mix. Reference: RWKV_x070_TMix_seq_batch (Albatross/rwkv7.py:619-649).
+
+    wkv_full is the STACKED (L, B, N, H*N) recurrent state; wkv_fn advances only
+    layer li's slab in place (pallas path: zero-copy via a prefetched layer
+    index; reference path: slice + dynamic_update)."""
     B, T, C = x.shape
     H, N = C // HEAD_SIZE, HEAD_SIZE
 
@@ -127,7 +132,8 @@ def _tmix(att, layer_is_first, x, shift_prev, v_first, wkv_state, elapsed, lengt
     v_first_new = jnp.where(layer_is_first, v, v_first)
     v = jnp.where(layer_is_first, v, v + (v_first - v) * v_gate)
 
-    y, wkv_new = wkv_fn(wkv_state, r, w_raw, k, v, -kk, kka, elapsed, lengths)
+    y, wkv_full_new = wkv_fn(wkv_full, r, w_raw, k, v, -kk, kka, elapsed,
+                             lengths, li)
     y = y.astype(x.dtype)
 
     y = group_norm(y, H, att["ln_x_w"], att["ln_x_b"], eps=64e-5)
@@ -136,7 +142,7 @@ def _tmix(att, layer_is_first, x, shift_prev, v_first, wkv_state, elapsed, lengt
     out = matmul(y * g, att["Wo"])
 
     new_shift = _masked_last(x, lengths, shift_prev)
-    return out, new_shift, v_first_new, wkv_new
+    return out, new_shift, v_first_new, wkv_full_new
 
 
 def _cmix(ffn, x, shift_prev, lengths):
@@ -163,15 +169,19 @@ def _backbone(params, x, state: RWKVState, lengths, wkv_fn):
 
     def layer_step(li, carry):
         xc, v_first, shift, wkv = carry
+        # Mm8Weight leaves stay stacked and the layer index travels with them
+        # (LayerIndexed) so the pallas mm8 kernels read tiles straight from the
+        # stacked buffer — slicing the codes here would materialize a full
+        # per-layer weight copy in HBM in front of every opaque pallas call
         blk = jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
-            blocks)
+            lambda a: (mm8.LayerIndexed(a, li) if isinstance(a, mm8.Mm8Weight)
+                       else jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)),
+            blocks, is_leaf=lambda a: isinstance(a, mm8.Mm8Weight))
         shift_l = jax.lax.dynamic_index_in_dim(shift, li, 0, keepdims=False)
-        wkv_l = jax.lax.dynamic_index_in_dim(wkv, li, 0, keepdims=False)
         is_first = (li == 0)
         xn = layer_norm(xc, blk["ln1_w"], blk["ln1_b"])
-        att_out, att_shift, v_first, wkv_new = _tmix(
-            blk["att"], is_first, xn, shift_l[0], v_first, wkv_l,
+        att_out, att_shift, v_first, wkv = _tmix(
+            blk["att"], li, is_first, xn, shift_l[0], v_first, wkv,
             state.elapsed, lengths, wkv_fn)
         xc = xc + att_out
         xn = layer_norm(xc, blk["ln2_w"], blk["ln2_b"])
@@ -180,8 +190,6 @@ def _backbone(params, x, state: RWKVState, lengths, wkv_fn):
         new_shift_l = jnp.stack([att_shift, ffn_shift])
         shift = jax.lax.dynamic_update_index_in_dim(
             shift, new_shift_l.astype(shift.dtype), li, 0)
-        wkv = jax.lax.dynamic_update_index_in_dim(
-            wkv, wkv_new.astype(wkv.dtype), li, 0)
         return xc, v_first, shift, wkv
 
     v_first0 = jnp.zeros_like(x)
@@ -195,9 +203,13 @@ def _embed(params, tokens, dtype):
     return emb[jnp.clip(tokens, 0, emb.shape[0] - 1)].astype(dtype)
 
 
-def _default_wkv_fn(wkv_state, r, w_raw, k, v, a, b, elapsed, lengths):
-    return wkv7_ops.wkv7_reference_batch(
-        wkv_state, r, w_raw, k, v, a, b, elapsed, lengths=lengths)
+def _default_wkv_fn(wkv_full, r, w_raw, k, v, a, b, elapsed, lengths, layer):
+    """lax.scan reference WKV on layer `layer` of the stacked state."""
+    wkv_l = jax.lax.dynamic_index_in_dim(wkv_full, layer, 0, keepdims=False)
+    y, new_l = wkv7_ops.wkv7_reference_batch(
+        wkv_l, r, w_raw, k, v, a, b, elapsed, lengths=lengths)
+    return y, jax.lax.dynamic_update_index_in_dim(
+        wkv_full, new_l.astype(wkv_full.dtype), layer, 0)
 
 
 def forward_chunk(params, tokens, state: RWKVState, lengths=None, *,

@@ -11,9 +11,10 @@ import jax.numpy as jnp
 
 
 def matmul(x, w):
-    """x @ w with fp32 MXU accumulation; w may be a dense array or an Mm8Weight."""
-    from chirrup_tpu.ops.mm8 import Mm8Weight, mm8_matmul
+    """x @ w with fp32 MXU accumulation; w may be a dense array, an Mm8Weight, or
+    a LayerIndexed view into a stacked Mm8Weight."""
+    from chirrup_tpu.ops.mm8 import LayerIndexed, Mm8Weight, mm8_matmul
 
-    if isinstance(w, Mm8Weight):
+    if isinstance(w, (Mm8Weight, LayerIndexed)):
         return mm8_matmul(x, w)
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)

@@ -109,12 +109,15 @@ def set_default_core(name: str) -> None:
     _DEFAULT_CORE = name
 
 
+def _want_pallas() -> bool:
+    return (_DEFAULT_CORE == "pallas"
+            or (_DEFAULT_CORE == "auto"
+                and jax.default_backend() in ("tpu", "axon")))
+
+
 def _int8_core_auto(xs, q):
     """Pallas fused-dequant core on TPU when shapes tile; XLA otherwise."""
-    want_pallas = (_DEFAULT_CORE == "pallas"
-                   or (_DEFAULT_CORE == "auto"
-                       and jax.default_backend() in ("tpu", "axon")))
-    if want_pallas:
+    if _want_pallas():
         from chirrup_tpu.ops.mm8_pallas import mm8_core_pallas, mm8_core_supported
 
         B, K = xs.shape
@@ -124,28 +127,70 @@ def _int8_core_auto(xs, q):
     return _int8_core_xla(xs, q)
 
 
-def mm8_matmul(x, w: Mm8Weight, *, core=None):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LayerIndexed:
+    """Layer `li` of a stacked (L, ...) Mm8Weight, WITHOUT slicing the codes.
+
+    An XLA dynamic-slice of the int8 codes feeding an opaque pallas call
+    materializes a full per-layer weight copy in HBM each step; instead the
+    stacked codes go to the kernel whole and `li` rides scalar prefetch into the
+    BlockSpec index_map. Only the small per-row/column scale vectors are sliced
+    in XLA (they fuse into the rank-1 corrections)."""
+
+    w: Mm8Weight   # stacked: q (L, K, M), scales (L, M)/(L, K)
+    li: Any        # int32 layer index (traced)
+
+    @property
+    def shape(self):
+        return self.w.q.shape[1:]
+
+
+def mm8_matmul(x, w, *, core=None):
     """Decomposed-dequant matmul. x: (..., K) float; returns (..., M) in x.dtype.
 
+    w: Mm8Weight, or LayerIndexed for one layer of a stacked Mm8Weight.
     `core` overrides the inner int8 GEMM; default picks the Pallas fused-dequant
     kernel on TPU (1 byte/weight HBM traffic) and the XLA dot elsewhere.
     """
-    if core is None:
-        core = _int8_core_auto
+    if isinstance(w, LayerIndexed):
+        stacked, li = w.w, w.li
+        pick = lambda v: jax.lax.dynamic_index_in_dim(v, li, 0, keepdims=False)
+        mx, rx, my, ry = (pick(stacked.mx), pick(stacked.rx),
+                          pick(stacked.my), pick(stacked.ry))
+        q = stacked.q  # (L, K, M) — NOT sliced
+        M = q.shape[2]
+
+        def stacked_core(xs, q3):
+            if _want_pallas():
+                from chirrup_tpu.ops.mm8_pallas import (
+                    mm8_core_pallas_stacked, mm8_core_supported)
+                B, K = xs.shape
+                if mm8_core_supported(B, K, M):
+                    return mm8_core_pallas_stacked(xs, q3, li)
+            return _int8_core_xla(
+                xs, jax.lax.dynamic_index_in_dim(q3, li, 0, keepdims=False))
+
+        core = core or stacked_core
+    else:
+        mx, rx, my, ry = w.mx, w.rx, w.my, w.ry
+        q = w.q
+        M = q.shape[1]
+        core = core or _int8_core_auto
     in_dtype = x.dtype
     K = x.shape[-1]
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
     xf = x2.astype(jnp.float32)
-    ry = w.ry * 16.0
-    rx = w.rx * 16.0
+    ry = ry * 16.0
+    rx = rx * 16.0
     xs_f = xf * ry[None, :]
     xs = xs_f.astype(in_dtype if in_dtype != jnp.float32 else jnp.float32)
-    core_out = core(xs, w.q)  # (B, M) f32 ; codes are q_u8 - 128
+    core_out = core(xs, q)  # (B, M) f32 ; codes are q_u8 - 128
     xs_sum = jnp.sum(xs_f, axis=-1, keepdims=True)
     x_sum = jnp.sum(xf, axis=-1, keepdims=True)
-    xmy_sum = jnp.sum(xf * w.my[None, :], axis=-1, keepdims=True)
+    xmy_sum = jnp.sum(xf * my[None, :], axis=-1, keepdims=True)
     # (q_i8 + 128.5) = (q_u8 + 0.5): fold the int8 shift into the rank-1 correction
     y = (rx[None, :] / 256.0) * (core_out + 128.5 * xs_sum) + xmy_sum \
-        + w.mx[None, :] * x_sum
-    return y.reshape(lead + (w.q.shape[1],)).astype(in_dtype)
+        + mx[None, :] * x_sum
+    return y.reshape(lead + (M,)).astype(in_dtype)

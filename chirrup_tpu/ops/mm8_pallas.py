@@ -95,3 +95,58 @@ def mm8_core_supported(B: int, K: int, M: int) -> bool:
     return bool(_pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
                                     if K * c <= budget))
                 and B * K <= _MAX_RESIDENT_X)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mm8_core_pallas_stacked(xs, q_stacked, layer, *, interpret=False):
+    """(B, K) float x (L, K, M) int8 [layer li] -> (B, M) f32.
+
+    The layer index rides scalar prefetch and feeds the weight BlockSpec's
+    index_map, so the kernel DMAs tiles straight out of the stacked buffer —
+    an XLA-level dynamic-slice of the weights (which materializes a full copy
+    in HBM before an opaque pallas call) never happens."""
+    B, K = xs.shape
+    L, K2, M = q_stacked.shape
+    assert K == K2
+    budget = 8 * 1024 * 1024
+    bm = _pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
+                             if K * c <= budget))
+    if not bm or B * K > _MAX_RESIDENT_X:
+        raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
+    n_k = max(K // 2048, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # layer index
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda m, li: (0, 0)),
+            pl.BlockSpec((1, K, bm), lambda m, li: (li[0], 0, m)),
+        ],
+        out_specs=pl.BlockSpec((B, bm), lambda m, li: (0, m)),
+    )
+
+    def kernel_stacked(li_ref, x_ref, q_ref, o_ref):
+        x = x_ref[:]
+        bk = x.shape[1] // n_k
+        acc = jnp.dot(x[:, :bk], q_ref[0, :bk].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        for i in range(1, n_k):
+            acc += jnp.dot(x[:, i * bk:(i + 1) * bk],
+                           q_ref[0, i * bk:(i + 1) * bk].astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+        o_ref[:] = acc
+
+    return pl.pallas_call(
+        kernel_stacked,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * M,
+            bytes_accessed=K * M + B * K * xs.dtype.itemsize + B * M * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xs, q_stacked)

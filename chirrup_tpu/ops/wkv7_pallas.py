@@ -4,10 +4,11 @@ Replaces the reference's fused CUDA kernel (Albatross/cuda/rwkv7_state_fwd_fp16.
 26-97, one thread-block per (batch, head), state in registers across the T loop) with
 a TPU-native design:
 
-- grid over the batch; each program owns one request's full per-layer state as an
-  (N, H*N) VMEM tile carried in fp32 across a fori_loop over the token chunk, so HBM
-  sees exactly one read + one write of the state per chunk (the hot-loop bandwidth
-  floor);
+- grid over batch TILES: each program owns Bt requests' full per-layer state as a
+  (Bt, N, H*N) VMEM tile carried in fp32 across a fori_loop over the token chunk, so
+  HBM sees exactly one read + one write of the state per chunk (the hot-loop
+  bandwidth floor). Tiling Bt requests per program (vs one) keeps per-program
+  dispatch overhead amortized and feeds the MXU (Bt*N)-row dots;
 - the per-head segment reductions sa_i = sum_j a_j S_ij and y_i = sum_j r_j S_ij run
   on the MXU as one (N, H*N) x (H*N, H) matmul each against a constant 0/1 segment
   matrix; the per-head broadcasts (v_i, sa_i over a head's 64 lanes) are the matching
@@ -36,12 +37,6 @@ from chirrup_tpu.ops.wkv7 import HEAD_SIZE, _EXP_NEG_HALF, _DITHER_SCALE
 _N = HEAD_SIZE
 
 
-def _dither_scalar(step_i32):
-    """rotator1 as a (1, 1) vector (Mosaic's tpu.bitcast only accepts vectors)."""
-    u = (jnp.uint32(2654435769) * step_i32.astype(jnp.uint32)).reshape(1, 1)
-    return jax.lax.bitcast_convert_type(u, jnp.int32).astype(jnp.float32) * _DITHER_SCALE
-
-
 def _dot32(x, y, precision=jax.lax.Precision.HIGHEST):
     """f32 matmul with f32 accumulation. TPU MXU (and its interpret-mode emulation)
     rounds f32 dot INPUTS to bf16 at default precision; HIGHEST runs multi-pass
@@ -50,11 +45,15 @@ def _dot32(x, y, precision=jax.lax.Precision.HIGHEST):
     return jnp.dot(x, y, preferred_element_type=jnp.float32, precision=precision)
 
 
-def _wkv7_kernel(elapsed_ref, length_ref, state_ref, r_ref, w_ref, k_ref, a_ref,
-                 b_ref, v2_ref, y2_ref, state_out_ref, *, T, use_dither,
-                 precision):
-    b = pl.program_id(0)
-    HN = state_ref.shape[2]
+def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
+                 elapsed_ref, length_ref, y2_ref, state_out_ref, *, T,
+                 use_dither, precision):
+    """Bt requests per program: per-request row broadcasts are elementwise on the
+    (Bt, N, HN) state tile, and the per-head segment reductions run as single
+    (Bt*N, HN) x (HN, H) MXU dots across the whole tile (the multiply by the
+    request's own row happens before the shared 0/1-matrix reduction, so requests
+    never mix)."""
+    _, Bt, N, HN = state_ref.shape
     H = HN // _N
     f32 = jnp.float32
 
@@ -64,66 +63,107 @@ def _wkv7_kernel(elapsed_ref, length_ref, state_ref, r_ref, w_ref, k_ref, a_ref,
     seg = (lane_head == head_id).astype(f32)          # (HN, H): reduce j within head
     segT = seg.T                                      # (H, HN): broadcast per head
 
-    elapsed = elapsed_ref[b]
-    length = length_ref[b]
+    elapsed = elapsed_ref[:]                          # (Bt, 1) int32
+    length = length_ref[:]                            # (Bt, 1) int32
 
-    S0 = state_ref[0].astype(f32)  # (N, HN)
+    S0 = state_ref[0].astype(f32)                     # (Bt, N, HN)
+
+    def red(x):
+        """(Bt, N, HN) -> (Bt, N, H): per-head sum over j."""
+        return _dot32(x.reshape(Bt * N, HN), seg, precision).reshape(Bt, N, H)
+
+    def bcast(x):
+        """(Bt, N, H) -> (Bt, N, HN): broadcast each head scalar over its lanes."""
+        return _dot32(x.reshape(Bt * N, H), segT, precision).reshape(Bt, N, HN)
 
     def body(t, S):
-        active = t < length
-        r_row = r_ref[0, pl.ds(t, 1), :].astype(f32)      # (1, HN)
-        w_row = w_ref[0, pl.ds(t, 1), :].astype(f32)
-        k_row = k_ref[0, pl.ds(t, 1), :].astype(f32)
-        a_row = a_ref[0, pl.ds(t, 1), :].astype(f32)
-        b_row = b_ref[0, pl.ds(t, 1), :].astype(f32)
-        v_nh = v2_ref[0, t].astype(f32)                    # (N, H), i-on-sublane
+        active = (t < length)[:, :, None]                  # (Bt, 1, 1) bool
+        r_row = r_ref[:, pl.ds(t, 1), :].astype(f32)       # (Bt, 1, HN)
+        w_row = w_ref[:, pl.ds(t, 1), :].astype(f32)
+        k_row = k_ref[:, pl.ds(t, 1), :].astype(f32)
+        a_row = a_ref[:, pl.ds(t, 1), :].astype(f32)
+        b_row = b_ref[:, pl.ds(t, 1), :].astype(f32)
+        v_nh = v2_ref[:, pl.ds(t, 1)][:, 0].astype(f32)    # (Bt, N, H), i-on-sublane
 
         d_row = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_row)) - 1.0
         if use_dither:
-            d_row = d_row + _dither_scalar(elapsed + t)
+            u = (jnp.uint32(2654435769)
+                 * (elapsed + t).astype(jnp.uint32))       # (Bt, 1)
+            dither = (jax.lax.bitcast_convert_type(u, jnp.int32)
+                      .astype(f32) * _DITHER_SCALE)[:, :, None]  # (Bt, 1, 1)
+            d_row = d_row + dither
 
-        sa = _dot32(S * a_row, seg, precision)       # (N, H)
-        sa_exp = _dot32(sa, segT, precision)         # (N, HN)
-        v_exp = _dot32(v_nh, segT, precision)        # (N, HN)
+        sa_exp = bcast(red(S * a_row))                     # (Bt, N, HN)
+        v_exp = bcast(v_nh)                                # (Bt, N, HN)
         S_new = S + S * d_row + v_exp * k_row + sa_exp * b_row
-        y = _dot32(S_new * r_row, seg, precision)    # (N, H)
-        y2_ref[0, t] = jnp.where(active, y, 0.0).astype(y2_ref.dtype)
+        y = red(S_new * r_row)                             # (Bt, N, H)
+        y2_ref[:, pl.ds(t, 1)] = jnp.where(
+            active, y, 0.0).astype(y2_ref.dtype)[:, None]
         return jnp.where(active, S_new, S)
 
     S_fin = jax.lax.fori_loop(0, T, body, S0, unroll=(T == 1))
     state_out_ref[0] = S_fin.astype(state_out_ref.dtype)
 
 
+def _pick_batch_tile(B: int, T: int, HN: int) -> int:
+    """Largest Bt with the program's VMEM footprint ~under 48MB (state f32 tile +
+    double-buffered bf16 staging of state/rows), so Mosaic can still double-buffer."""
+    for bt in (16, 8, 4, 2, 1):
+        if B % bt:
+            continue
+        footprint = (bt * _N * HN * 4                 # S carry f32
+                     + 2 * 2 * bt * _N * HN * 2       # state in/out staging x2
+                     + 2 * 7 * bt * T * HN * 2)       # r,w,k,a,b,v2,y2 staging x2
+        if footprint <= 48 * 1024 * 1024:
+            return bt
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
                                               "precision"))
-def _wkv7_pallas_call(state, r, w_raw, k, a, b, v2, elapsed, lengths, *,
+def _wkv7_pallas_call(state, layer, r, w_raw, k, a, b, v2, elapsed, lengths, *,
                       use_dither=True, interpret=False, precision="highest"):
+    """state: STACKED (L, B, N, HN); only layer `layer`'s slab is read/updated.
+
+    The layer index rides scalar prefetch into the state BlockSpecs, so the
+    kernel DMAs the slab straight out of the stacked buffer — no XLA-level
+    dynamic-slice/update (which would copy the whole slab around the opaque
+    pallas call every layer). The full stacked buffer is aliased in->out; slabs
+    of other layers are untouched bytes of the same buffer."""
     B, T, HN = r.shape
     N = _N
     H = HN // N
+    L = state.shape[0]
+    Bt = _pick_batch_tile(B, T, HN)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # elapsed, lengths
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, N, HN), lambda i, *_: (i, 0, 0)),       # state
-            pl.BlockSpec((1, T, HN), lambda i, *_: (i, 0, 0)),       # r
-            pl.BlockSpec((1, T, HN), lambda i, *_: (i, 0, 0)),       # w
-            pl.BlockSpec((1, T, HN), lambda i, *_: (i, 0, 0)),       # k
-            pl.BlockSpec((1, T, HN), lambda i, *_: (i, 0, 0)),       # a
-            pl.BlockSpec((1, T, HN), lambda i, *_: (i, 0, 0)),       # b
-            pl.BlockSpec((1, T, N, H), lambda i, *_: (i, 0, 0, 0)),  # v2
-        ],
-        out_specs=[
-            pl.BlockSpec((1, T, N, H), lambda i, *_: (i, 0, 0, 0)),  # y2
-            pl.BlockSpec((1, N, HN), lambda i, *_: (i, 0, 0)),       # state_out
-        ],
-    )
+    def bspec(*tile):
+        return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
+
+    state_spec = pl.BlockSpec((1, Bt, N, HN), lambda i, li: (li[0], i, 0, 0))
 
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(_wkv7_kernel, T=T, use_dither=use_dither,
                                precision=prec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # layer index
+        grid=(B // Bt,),
+        in_specs=[
+            state_spec,        # state (stacked)
+            bspec(T, HN),      # r
+            bspec(T, HN),      # w
+            bspec(T, HN),      # k
+            bspec(T, HN),      # a
+            bspec(T, HN),      # b
+            bspec(T, N, H),    # v2
+            bspec(1),          # elapsed (Bt, 1) i32
+            bspec(1),          # lengths (Bt, 1) i32
+        ],
+        out_specs=[
+            bspec(T, N, H),    # y2
+            state_spec,        # state_out (stacked)
+        ],
+    )
     y2, state_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -131,7 +171,11 @@ def _wkv7_pallas_call(state, r, w_raw, k, a, b, v2, elapsed, lengths, *,
             jax.ShapeDtypeStruct((B, T, N, H), r.dtype),
             jax.ShapeDtypeStruct(state.shape, state.dtype),
         ],
-        input_output_aliases={2: 1},  # state buffer updated in place
+        # aliasing indices include the scalar-prefetch operand: state is arg 1
+        input_output_aliases={1: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * B * T * N * HN * H + 4 * B * T * N * HN,
@@ -139,27 +183,37 @@ def _wkv7_pallas_call(state, r, w_raw, k, a, b, v2, elapsed, lengths, *,
             + 6 * B * T * HN * r.dtype.itemsize,
             transcendentals=B * T * HN,
         ),
-    )(elapsed, lengths, state, r, w_raw, k, a, b, v2)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), state, r, w_raw, k, a, b, v2,
+      elapsed[:, None], lengths[:, None])
     return y2, state_out
 
 
 def wkv7_pallas_batch(state, r, w_raw, k, v, a, b, elapsed, *, lengths=None,
-                      use_dither=True, interpret=False, precision="highest"):
+                      layer=None, use_dither=True, interpret=False,
+                      precision="highest"):
     """Drop-in replacement for ops.wkv7.wkv7_reference_batch.
 
-    state: (B, N, H*N); r..b: (B, T, C=H*N); elapsed: (B,) int32;
-    lengths: optional (B,) int32. Returns y (B, T, C) in r.dtype, new_state.
+    state: (B, N, H*N) — or, with `layer` given, the STACKED (L, B, N, H*N)
+    buffer of which only layer `layer`'s slab is advanced (zero-copy in-place).
+    r..b: (B, T, C=H*N); elapsed: (B,) int32; lengths: optional (B,) int32.
+    Returns y (B, T, C) in r.dtype, new_state (same shape as `state`).
     """
     B, T, C = r.shape
     N = _N
     H = C // N
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
+    if layer is None:
+        state_stacked, li = state[None], 0
+    else:
+        state_stacked, li = state, layer
     # v to "i-on-sublane" layout (B, T, N, H)
     v2 = v.reshape(B, T, H, N).transpose(0, 1, 3, 2)
     y2, new_state = _wkv7_pallas_call(
-        state, r, w_raw, k, a, b, v2, elapsed.astype(jnp.int32),
+        state_stacked, li, r, w_raw, k, a, b, v2, elapsed.astype(jnp.int32),
         lengths.astype(jnp.int32), use_dither=use_dither, interpret=interpret,
         precision=precision)
     y = y2.transpose(0, 1, 3, 2).reshape(B, T, C)
+    if layer is None:
+        new_state = new_state[0]
     return y, new_state

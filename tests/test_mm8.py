@@ -105,3 +105,43 @@ def test_pallas_core_matches_xla_core(rng):
     # untileable / oversized shapes are refused (callers fall back to XLA)
     assert not mm8_core_supported(8, 256, 192)
     assert not mm8_core_supported(512, 65536, 256)
+
+
+def test_pallas_stacked_core_matches_slice(rng):
+    """Layer-indexed stacked kernel (interpret) vs slicing the layer out."""
+    import jax
+    import jax.numpy as jnp_
+    from chirrup_tpu.ops.mm8_pallas import mm8_core_pallas_stacked
+
+    L, B, K, M = 3, 8, 256, 256
+    xs = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    q = jnp.asarray(rng.integers(-128, 128, (L, K, M)), jnp.int8)
+    for li in range(L):
+        ref = jnp.dot(xs, q[li].astype(xs.dtype),
+                      preferred_element_type=jnp.float32)
+        out = mm8_core_pallas_stacked(xs, q, li, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-2)
+
+
+def test_mm8_matmul_layer_indexed_matches_sliced(rng):
+    """mm8_matmul(LayerIndexed(w, li)) == mm8_matmul on the sliced per-layer
+    weight (XLA core path, as used on CPU)."""
+    import jax
+    from chirrup_tpu.ops.mm8 import LayerIndexed, Mm8Weight
+
+    L, K, M, B = 3, 64, 96, 5
+    per_layer = [quantize(rng.standard_normal((K, M)).astype(np.float32))
+                 for _ in range(L)]
+    stacked = Mm8Weight(
+        q=jnp.stack([w.q for w in per_layer]),
+        mx=jnp.stack([w.mx for w in per_layer]),
+        rx=jnp.stack([w.rx for w in per_layer]),
+        my=jnp.stack([w.my for w in per_layer]),
+        ry=jnp.stack([w.ry for w in per_layer]))
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    for li in range(L):
+        want = mm8_matmul(x, per_layer[li])
+        got = mm8_matmul(x, LayerIndexed(stacked, jnp.int32(li)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -83,3 +83,25 @@ def test_dither_changes_with_elapsed(rng):
                               jnp.asarray([999], jnp.int32), use_dither=False,
                               interpret=True)
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(y3))
+
+
+def test_stacked_layer_update_preserves_other_layers(rng):
+    """layer=li advances only that slab of the stacked (L, B, N, HN) state and
+    leaves every other layer's slab bit-identical (the in-place aliased path the
+    serving backbone uses)."""
+    B, T, H, L = 2, 3, 2, 4
+    state_l, r, w, k, v, a, b, elapsed = _rand_inputs(rng, B, T, H)
+    stacked = jnp.stack([state_l * (i + 1) for i in range(L)])
+    for li in (0, 2, L - 1):
+        y_ref, s_ref = wkv7_reference_batch(stacked[li], r, w, k, v, a, b, elapsed)
+        y_pl, s_new = wkv7_pallas_batch(stacked, r, w, k, v, a, b, elapsed,
+                                        layer=jnp.int32(li), interpret=True)
+        assert s_new.shape == stacked.shape
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s_new[li]), np.asarray(s_ref),
+                                   rtol=2e-5, atol=2e-5)
+        for other in range(L):
+            if other != li:
+                np.testing.assert_array_equal(np.asarray(s_new[other]),
+                                              np.asarray(stacked[other]))
