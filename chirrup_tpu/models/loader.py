@@ -188,3 +188,34 @@ def synthetic_params(config: RWKV7Config, seed: int = 0, dtype=jnp.float32,
     import jax
 
     return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+
+
+def parameter_groups(params):
+    """Per-placement-unit size accounting: [{'name', 'size_mb', 'n_arrays'}] for
+    the pre (embedding), per-layer, and post (ln_out + head) groups — the natural
+    unit for pipeline placement and streaming weight upload (parity with the
+    reference's get_gpu_parameter_groups, Albatross/rwkv7.py:384-500; here layers
+    are stacked, so per-layer sizes are the stacked leaf sizes / n_layer)."""
+    import jax
+
+    def leaf_bytes(tree):
+        total = 0
+        count = 0
+        for leaf in jax.tree_util.tree_leaves(tree):
+            total += leaf.size * leaf.dtype.itemsize
+            count += 1
+        return total, count
+
+    blocks = params["blocks"]
+    L = blocks["ln1_w"].shape[0]
+    pre_b, pre_n = leaf_bytes(params["emb"])
+    blk_b, blk_n = leaf_bytes(blocks)
+    post_b, post_n = leaf_bytes(
+        {k: params[k] for k in ("ln_out_w", "ln_out_b", "head")})
+    groups = [{"name": "pre", "size_mb": pre_b / 2**20, "n_arrays": pre_n}]
+    for i in range(L):
+        groups.append({"name": f"layer_{i}", "size_mb": blk_b / L / 2**20,
+                       "n_arrays": blk_n})
+    groups.append({"name": "post", "size_mb": post_b / 2**20,
+                   "n_arrays": post_n})
+    return groups
