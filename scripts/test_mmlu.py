@@ -52,8 +52,13 @@ async def main(args):
     from chirrup_tpu.engine.engine import AsyncEngineCore
     from chirrup_tpu.engine.structures import ModelLoadConfig
 
+    synthetic = None
+    if args.synthetic:
+        L, C = (int(x) for x in args.synthetic.split(","))
+        synthetic = dict(n_layer=L, n_embd=C, vocab_size=65536)
     config = ModelLoadConfig(model_path=args.model_path, vocab_path=args.vocab_path,
-                             quantization=None if args.no_quant else "int8")
+                             quantization=None if args.no_quant else "int8",
+                             synthetic_config=synthetic)
     engine = AsyncEngineCore()
     await engine.init(worker_num=1, model_config=config,
                       batch_size=args.batch_size)
@@ -106,7 +111,9 @@ async def main(args):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--model_path", default="")
+    ap.add_argument("--synthetic", default="",
+                    help="'L,C' random model for harness smoke tests")
     ap.add_argument("--vocab_path",
                     default="/root/reference/Albatross/rwkv_vocab_v20230424.txt")
     ap.add_argument("--data_dir", default="mmlu_test_dataset")
