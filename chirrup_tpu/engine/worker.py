@@ -476,8 +476,25 @@ class Worker:
                 "seq_prefill_count": seq_count,
             },
             "loop_count": self.loop_count,
+            "max_allocated_memory_GB": self._device_memory_gb(),
         })
         return True
+
+    _MEM_PROBE_EVERY = 50  # memory_stats() is a host call; don't pay it per loop
+
+    def _device_memory_gb(self):
+        """Peak HBM in use (reference telemetry max_allocated_memory_GB,
+        worker.py:871); refreshed every few loops, None where unsupported."""
+        if self.loop_count % self._MEM_PROBE_EVERY not in (1,):
+            return getattr(self, "_mem_gb_cache", None)
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use"))
+            self._mem_gb_cache = (round(peak / 2**30, 3)
+                                  if peak is not None else None)
+        except Exception:  # noqa: BLE001 — telemetry must never kill serving
+            self._mem_gb_cache = None
+        return self._mem_gb_cache
 
     def start(self):
         try:
