@@ -53,9 +53,19 @@ class BatchCarry:
     frequency_penalty: Any  # (B,) f32
     presence_penalty: Any   # (B,) f32
     penalty_decay: Any      # (B,) f32
-    forbidden: Any          # (B, MAX_FORBIDDEN_TOKENS) i32, -1 padded
+    forbidden_bias: Any     # (B, V) f32: 1e10 at forbidden token ids, else 0 —
+                            # precomputed at insert so the step pays ONE fused
+                            # read instead of MAX_FORBIDDEN iota-compare passes
     last_sampled: Any       # (B,) i32 — device-resident decode feedback (pipelining)
     rng: Any                # jax PRNG key
+
+
+def _forbidden_bias_row(forbidden_ids, V):
+    """(MAX_FORBIDDEN_TOKENS,) int32 (-1 padded) -> (V,) f32 with 1e10 at the
+    forbidden ids (runs once per slot insert, not per step)."""
+    iota = jnp.arange(V, dtype=jnp.int32)
+    hit = (iota[None, :] == forbidden_ids[:, None]).any(0)
+    return jnp.where(hit, 1e10, 0.0).astype(jnp.float32)
 
 
 def _quantize_params(params):
@@ -228,7 +238,7 @@ class ServingModel:
             frequency_penalty=jnp.zeros((B,), f32),
             presence_penalty=jnp.zeros((B,), f32),
             penalty_decay=jnp.ones((B,), f32),
-            forbidden=jnp.full((B, MAX_FORBIDDEN_TOKENS), -1, jnp.int32),
+            forbidden_bias=jnp.zeros((B, V), f32),
             last_sampled=jnp.full((B,), -1, jnp.int32),
             rng=jax.random.key(self._seed),
         )
@@ -264,13 +274,11 @@ class ServingModel:
         occurrence = jnp.where(decode_mask[:, None],
                                carry.occurrence * carry.penalty_decay[:, None],
                                carry.occurrence)
+        # forbidden tokens -> -1e10 (reference worker.py:719-722) via the
+        # precomputed bias — fuses into the same elementwise pass as penalties
         adj = logits - (carry.presence_vec
-                        + occurrence * carry.frequency_penalty[:, None])
-        # forbidden tokens -> -1e10 (reference worker.py:719-722); unrolled so no
-        # (B, MAX_FORBIDDEN, V) intermediate ever materializes
-        vocab_iota = jax.lax.broadcasted_iota(jnp.int32, adj.shape, 1)
-        for i in range(MAX_FORBIDDEN_TOKENS):
-            adj = jnp.where(vocab_iota == carry.forbidden[:, i:i + 1], adj - 1e10, adj)
+                        + occurrence * carry.frequency_penalty[:, None]
+                        + carry.forbidden_bias)
 
         rng, key = jax.random.split(carry.rng)
         sampled = sample_logits_rwkv_pip_fast(
@@ -356,7 +364,10 @@ class ServingModel:
             frequency_penalty=set_row(carry.frequency_penalty, frequency_penalty),
             presence_penalty=set_row(carry.presence_penalty, presence_penalty),
             penalty_decay=set_row(carry.penalty_decay, penalty_decay),
-            forbidden=jnp.where(onehot[:, None], forbidden[None, :], carry.forbidden),
+            forbidden_bias=jnp.where(
+                onehot[:, None], _forbidden_bias_row(
+                    forbidden, carry.forbidden_bias.shape[1])[None, :],
+                carry.forbidden_bias),
             last_sampled=jnp.where(onehot, -1, carry.last_sampled),
         )
 

@@ -71,7 +71,11 @@ class RuntimeConfig:
     # ~27% of a decode step). The exact full-sort fallback still guards top_p
     # coverage either way, and temp=0 greedy rows are always exact.
     sampler_approx_topk: bool = True
-    sampler_k_max: int = 1024
+    # 128 keeps approx_max_k AND the candidate argsort essentially free (k=1024
+    # cost ~0.5ms + ~0.7ms per step at B=64); the exact-fallback cond still
+    # guards top_p coverage, so small k trades fallback frequency, not
+    # correctness. Default top_p=0.3 needs only a handful of candidates.
+    sampler_k_max: int = 128
     # inner int8 GEMM: "auto" (backend-based), "pallas" (fused in-VMEM dequant),
     # or "xla" (plain dot on converted weights)
     mm8_core: str = "auto"
