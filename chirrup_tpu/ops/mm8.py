@@ -98,14 +98,36 @@ def _int8_core_xla(xs, q):
     return jnp.dot(xs, q.astype(xs.dtype), preferred_element_type=jnp.float32)
 
 
-_DEFAULT_CORE = "auto"  # "auto" | "pallas" | "xla" — trace-time module default
+def quantize_activations(xs):
+    """Per-row (per-token) symmetric int8 quantization of the scaled activations.
+
+    Returns (xs8 int8, s (B, 1) f32) with xs ~= xs8 * s. Used by the a8 cores:
+    the MXU then runs a native int8 x int8 -> int32 dot at 2x the bf16 rate
+    (v5e: 394 int8 TOP/s vs 197 bf16 TFLOP/s). The rank-1 dequant corrections
+    stay exact f32, so the only extra error vs w8a16 is the ~7-bit rounding of
+    the GEMM term's activations."""
+    xf = xs.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-20)
+    xs8 = jnp.round(xf / s).astype(jnp.int8)
+    return xs8, s
+
+
+def _int8_core_xla_a8(xs, q):
+    """w8a8 core: dynamic per-token int8 activations, native int8 MXU dot."""
+    xs8, s = quantize_activations(xs)
+    acc = jnp.dot(xs8, q, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * s
+
+
+_DEFAULT_CORE = "auto"  # "auto" | "pallas" | "xla" | "xla_a8" — trace-time default
 
 
 def set_default_core(name: str) -> None:
     """Select the inner int8 GEMM used when mm8_matmul gets core=None. Resolved at
     trace time; ServingModel sets it from RuntimeConfig.mm8_core before tracing."""
     global _DEFAULT_CORE
-    assert name in ("auto", "pallas", "xla"), name
+    assert name in ("auto", "pallas", "xla", "xla_a8"), name
     _DEFAULT_CORE = name
 
 
@@ -117,6 +139,8 @@ def _want_pallas() -> bool:
 
 def _int8_core_auto(xs, q):
     """Pallas fused-dequant core on TPU when shapes tile; XLA otherwise."""
+    if _DEFAULT_CORE == "xla_a8":
+        return _int8_core_xla_a8(xs, q)
     if _want_pallas():
         from chirrup_tpu.ops.mm8_pallas import mm8_core_pallas, mm8_core_supported
 
@@ -162,6 +186,11 @@ def mm8_matmul(x, w, *, core=None):
         M = q.shape[2]
 
         def stacked_core(xs, q3):
+            if _DEFAULT_CORE == "xla_a8":
+                # NOTE: slices the per-layer codes in XLA (extra HBM copy) —
+                # probing-only until the pallas a8 stacked kernel lands
+                return _int8_core_xla_a8(
+                    xs, jax.lax.dynamic_index_in_dim(q3, li, 0, keepdims=False))
             if _want_pallas():
                 from chirrup_tpu.ops.mm8_pallas import (
                     mm8_core_pallas_stacked, mm8_core_supported)

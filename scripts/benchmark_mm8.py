@@ -68,6 +68,9 @@ def main():
         wb = jax.random.normal(kq, (K, M), jnp.bfloat16) * 0.01
 
         def fold(x, y, K=K):
+            # fold the (B, M) output back into a (B, K) carry (tile when M < K)
+            if y.shape[1] < K:
+                y = jnp.tile(y, (1, K // y.shape[1]))
             return jnp.tanh(y[:, :K] + jnp.mean(y, axis=1, keepdims=True)
                             ).astype(jnp.bfloat16)
 

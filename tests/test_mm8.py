@@ -70,6 +70,41 @@ def test_mm8_vs_fp32_accuracy(rng):
     assert rel < 0.02
 
 
+def test_a8_core_accuracy(rng):
+    """The w8a8 core (dynamic per-token int8 activations, native int8 MXU dot)
+    must track the w8a16 result to activation-rounding tolerance."""
+    from chirrup_tpu.ops import mm8 as mm8mod
+
+    w = rng.standard_normal((256, 512)).astype(np.float32)
+    x = (rng.standard_normal((8, 256)) * 0.5).astype(np.float32)
+    mq = quantize(w)
+    y16 = np.asarray(mm8_matmul(jnp.asarray(x), mq))
+    mm8mod.set_default_core("xla_a8")
+    try:
+        y8 = np.asarray(mm8_matmul(jnp.asarray(x), mq))
+    finally:
+        mm8mod.set_default_core("auto")
+    y32 = x @ w
+    rel_vs_a16 = np.linalg.norm(y8 - y16) / np.linalg.norm(y16)
+    rel_vs_f32 = np.linalg.norm(y8 - y32) / np.linalg.norm(y32)
+    assert rel_vs_a16 < 0.02, rel_vs_a16
+    assert rel_vs_f32 < 0.03, rel_vs_f32
+
+
+def test_a8_quantize_activations(rng):
+    from chirrup_tpu.ops.mm8 import quantize_activations
+
+    xs = jnp.asarray((rng.standard_normal((4, 64)) * 3).astype(np.float32))
+    xs8, s = quantize_activations(xs)
+    assert xs8.dtype == jnp.int8 and s.shape == (4, 1)
+    back = np.asarray(xs8, np.float32) * np.asarray(s)
+    err = np.abs(back - np.asarray(xs)).max(axis=1)
+    assert np.all(err <= 0.5 * np.asarray(s)[:, 0] + 1e-7)
+    # zero row stays finite
+    z8, zs = quantize_activations(jnp.zeros((1, 64)))
+    assert np.all(np.asarray(z8) == 0) and np.isfinite(np.asarray(zs)).all()
+
+
 def test_linear_dispatch(rng):
     w = rng.standard_normal((64, 96)).astype(np.float32)
     x = rng.standard_normal((2, 64)).astype(np.float32)
