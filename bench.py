@@ -91,6 +91,9 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--block", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mm8-core", default=None,
+                    choices=["auto", "pallas", "pallas_a8", "xla", "xla_a8"],
+                    help="override RuntimeConfig.mm8_core for this run")
     args = ap.parse_args()
 
     import jax
@@ -124,7 +127,9 @@ def main():
     runtime = RuntimeConfig(activation_dtype=jnp.bfloat16,
                             wkv_state_dtype=jnp.bfloat16,
                             quantization=None,  # already int8
-                            use_pallas_wkv=on_tpu)  # scan path off-TPU
+                            use_pallas_wkv=on_tpu,  # scan path off-TPU
+                            **({"mm8_core": args.mm8_core}
+                               if args.mm8_core else {}))
     model = ServingModel(cfg, params, runtime, batch_size=batch)
     carry = model.init_carry()
 

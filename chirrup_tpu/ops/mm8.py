@@ -120,34 +120,51 @@ def _int8_core_xla_a8(xs, q):
     return acc.astype(jnp.float32) * s
 
 
-_DEFAULT_CORE = "auto"  # "auto" | "pallas" | "xla" | "xla_a8" — trace-time default
+def _int8_core_pallas_a8(xs, q):
+    """w8a8 via the Pallas kernel: 1 byte/weight HBM + native int8 MXU dot."""
+    from chirrup_tpu.ops.mm8_pallas import mm8_core_pallas_a8
+
+    xs8, s = quantize_activations(xs)
+    return mm8_core_pallas_a8(xs8, q).astype(jnp.float32) * s
+
+
+# trace-time default: "auto" | "pallas" | "pallas_a8" | "xla" | "xla_a8"
+_DEFAULT_CORE = "auto"
 
 
 def set_default_core(name: str) -> None:
     """Select the inner int8 GEMM used when mm8_matmul gets core=None. Resolved at
     trace time; ServingModel sets it from RuntimeConfig.mm8_core before tracing."""
     global _DEFAULT_CORE
-    assert name in ("auto", "pallas", "xla", "xla_a8"), name
+    assert name in ("auto", "pallas", "pallas_a8", "xla", "xla_a8"), name
     _DEFAULT_CORE = name
 
 
-def _want_pallas() -> bool:
-    return (_DEFAULT_CORE == "pallas"
-            or (_DEFAULT_CORE == "auto"
-                and jax.default_backend() in ("tpu", "axon")))
+def _resolved_core() -> str:
+    """"auto" -> the fastest backend-appropriate core. On TPU that is the w8a8
+    Pallas kernel (native int8 MXU ~1.5x the bf16 dot at serving shapes, same
+    1 byte/weight HBM); off-TPU the plain XLA dot. The exact w8a16 scheme stays
+    available as mm8_core="pallas"."""
+    if _DEFAULT_CORE != "auto":
+        return _DEFAULT_CORE
+    return ("pallas_a8" if jax.default_backend() in ("tpu", "axon") else "xla")
 
 
 def _int8_core_auto(xs, q):
-    """Pallas fused-dequant core on TPU when shapes tile; XLA otherwise."""
-    if _DEFAULT_CORE == "xla_a8":
+    core = _resolved_core()
+    if core == "xla_a8":
         return _int8_core_xla_a8(xs, q)
-    if _want_pallas():
+    B, K = xs.shape
+    M = q.shape[1]
+    if core in ("pallas", "pallas_a8"):
         from chirrup_tpu.ops.mm8_pallas import mm8_core_pallas, mm8_core_supported
 
-        B, K = xs.shape
-        M = q.shape[1]
         if mm8_core_supported(B, K, M):
+            if core == "pallas_a8":
+                return _int8_core_pallas_a8(xs, q)
             return mm8_core_pallas(xs, q)
+        if core == "pallas_a8":
+            return _int8_core_xla_a8(xs, q)
     return _int8_core_xla(xs, q)
 
 
@@ -186,17 +203,27 @@ def mm8_matmul(x, w, *, core=None):
         M = q.shape[2]
 
         def stacked_core(xs, q3):
-            if _DEFAULT_CORE == "xla_a8":
+            core_name = _resolved_core()
+            if core_name == "xla_a8":
                 # NOTE: slices the per-layer codes in XLA (extra HBM copy) —
-                # probing-only until the pallas a8 stacked kernel lands
+                # probing-only; serving uses pallas_a8
                 return _int8_core_xla_a8(
                     xs, jax.lax.dynamic_index_in_dim(q3, li, 0, keepdims=False))
-            if _want_pallas():
+            if core_name in ("pallas", "pallas_a8"):
                 from chirrup_tpu.ops.mm8_pallas import (
-                    mm8_core_pallas_stacked, mm8_core_supported)
+                    mm8_core_pallas_a8_stacked, mm8_core_pallas_stacked,
+                    mm8_core_supported)
                 B, K = xs.shape
                 if mm8_core_supported(B, K, M):
+                    if core_name == "pallas_a8":
+                        xs8, s = quantize_activations(xs)
+                        acc = mm8_core_pallas_a8_stacked(xs8, q3, li)
+                        return acc.astype(jnp.float32) * s
                     return mm8_core_pallas_stacked(xs, q3, li)
+                if core_name == "pallas_a8":
+                    return _int8_core_xla_a8(
+                        xs,
+                        jax.lax.dynamic_index_in_dim(q3, li, 0, keepdims=False))
             return _int8_core_xla(
                 xs, jax.lax.dynamic_index_in_dim(q3, li, 0, keepdims=False))
 
