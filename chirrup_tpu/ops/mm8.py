@@ -193,7 +193,35 @@ def mm8_matmul(x, w, *, core=None):
     w: Mm8Weight, or LayerIndexed for one layer of a stacked Mm8Weight.
     `core` overrides the inner int8 GEMM; default picks the Pallas fused-dequant
     kernel on TPU (1 byte/weight HBM traffic) and the XLA dot elsewhere.
+
+    On the default TPU path (resolved core "pallas_a8") the ENTIRE matmul —
+    activation scale+quantize, int8 GEMM, rank-1 dequant corrections — runs as
+    one fused Pallas kernel with zero XLA-side elementwise passes (those f32
+    passes measured ~30-80us per matmul at B=200, ~10 ms/step at 7.2B).
     """
+    if core is None and _resolved_core() == "pallas_a8" and x.ndim >= 1:
+        from chirrup_tpu.ops.mm8_pallas import (
+            mm8_fused_a8, mm8_fused_a8_stacked, mm8_core_supported)
+
+        lead = x.shape[:-1]
+        K = x.shape[-1]
+        x2 = x.reshape(-1, K)
+        B = x2.shape[0]
+        if isinstance(w, LayerIndexed):
+            Mo = w.w.q.shape[2]
+            if mm8_core_supported(B, K, Mo):
+                pick = lambda v: jax.lax.dynamic_index_in_dim(
+                    v, w.li, 0, keepdims=False)
+                y = mm8_fused_a8_stacked(
+                    x2, pick(w.w.mx), pick(w.w.rx), pick(w.w.my),
+                    pick(w.w.ry), w.w.q, w.li)
+                return y.reshape(lead + (Mo,))
+        else:
+            Mo = w.q.shape[1]
+            if mm8_core_supported(B, K, Mo):
+                y = mm8_fused_a8(x2, w.mx, w.rx, w.my, w.ry, w.q)
+                return y.reshape(lead + (Mo,))
+
     if isinstance(w, LayerIndexed):
         stacked, li = w.w, w.li
         pick = lambda v: jax.lax.dynamic_index_in_dim(v, li, 0, keepdims=False)

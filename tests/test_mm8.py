@@ -202,6 +202,36 @@ def test_pallas_a8_core_via_mm8_matmul(rng):
     np.testing.assert_allclose(y_pallas, y_xla, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_a8_matches_decomposed(rng):
+    """The fully-fused kernel (quant + GEMM + corrections in-kernel, interpret)
+    == mm8_matmul with the xla_a8 core (same math via XLA elementwise)."""
+    import chirrup_tpu.ops.mm8 as mm8mod
+    from chirrup_tpu.ops.mm8 import quantize, mm8_matmul
+    from chirrup_tpu.ops.mm8_pallas import mm8_fused_a8, mm8_fused_a8_stacked
+
+    B, K, M = 8, 256, 256
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    w = rng.standard_normal((K, M)).astype(np.float32) * 0.05 + 0.01
+    qw = quantize(w)
+    ref = np.asarray(mm8_matmul(x, qw, core=mm8mod._int8_core_xla_a8))
+    out = np.asarray(mm8_fused_a8(x, qw.mx, qw.rx, qw.my, qw.ry, qw.q,
+                                  interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    # stacked: each layer agrees with the flat fused call on its slice
+    L = 3
+    ws = [rng.standard_normal((K, M)).astype(np.float32) * 0.03 for _ in range(L)]
+    qs = [quantize(wl) for wl in ws]
+    stacked_q = jnp.stack([q.q for q in qs])
+    for li in range(L):
+        ref = np.asarray(mm8_fused_a8(x, qs[li].mx, qs[li].rx, qs[li].my,
+                                      qs[li].ry, qs[li].q, interpret=True))
+        out = np.asarray(mm8_fused_a8_stacked(
+            x, qs[li].mx, qs[li].rx, qs[li].my, qs[li].ry, stacked_q, li,
+            interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_mm8_matmul_layer_indexed_matches_sliced(rng):
     """mm8_matmul(LayerIndexed(w, li)) == mm8_matmul on the sliced per-layer
     weight (XLA core path, as used on CPU)."""
