@@ -28,6 +28,32 @@ def _pick_tile(dim: int, candidates) -> int:
     return 0
 
 
+def _pick_nk(K: int) -> int:
+    """K-split of the in-kernel dot. Swept on v5e at B=200: n_k=2 wins at every
+    serving shape (16384x4096: nk2 122us vs nk8 130us; 4096x4096: nk2 34us vs
+    nk1 65us) — one split keeps the MXU pipeline primed without shrinking the
+    sub-dots into overhead."""
+    return 2 if K % 2 == 0 else 1
+
+
+def _pick_bm(K: int, M: int, budget: int = 8 * 1024 * 1024) -> int:
+    """M-tile size for the weight stream.
+
+    Measured on v5e at B=200: small weights (K*M <= 32MB) want the LARGEST tile
+    (fewer grid steps; per-step MXU efficiency dominates — 4096x4096: bm2048
+    34us vs bm256 50us); large weights want bm=256 (deep DMA pipeline hides the
+    per-tile latency — 16384x4096: bm256 131us vs bm512 163us)."""
+    cands = tuple(c for c in (2048, 1024, 512, 256, 128)
+                  if K * c <= budget and M % c == 0)
+    if not cands:
+        return 0
+    if K * M > 32 * 1024 * 1024:
+        for small in (256, 512):
+            if small in cands:
+                return small
+    return cands[0]
+
+
 def _mm8_kernel(x_ref, q_ref, o_ref, *, n_k):
     """x stays fully VMEM-resident (index_map constant); q streams tile by tile.
     The k-reduction runs as n_k statically-unrolled sub-dots over the resident x,
@@ -58,12 +84,10 @@ def mm8_core_pallas(xs, q, *, interpret=False):
     K2, M = q.shape
     assert K == K2
     # q tile (K, bm) ~<=8MB int8 so double-buffered DMAs fit VMEM alongside x
-    budget = 8 * 1024 * 1024
-    bm = _pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
-                             if K * c <= budget))
+    bm = _pick_bm(K, M)
     if not bm or B * K > _MAX_RESIDENT_X:
         raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
-    n_k = max(K // 2048, 1)
+    n_k = _pick_nk(K)
 
     kernel = functools.partial(_mm8_kernel, n_k=n_k)
     return pl.pallas_call(
@@ -114,12 +138,10 @@ def mm8_core_pallas_a8(xs8, q, *, interpret=False):
     B, K = xs8.shape
     K2, M = q.shape
     assert K == K2 and xs8.dtype == jnp.int8
-    budget = 8 * 1024 * 1024
-    bm = _pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
-                             if K * c <= budget))
+    bm = _pick_bm(K, M)
     if not bm or B * K > _MAX_RESIDENT_X:
         raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
-    n_k = max(K // 2048, 1)
+    n_k = _pick_nk(K)
 
     kernel = functools.partial(_a8_kernel, n_k=n_k)
     return pl.pallas_call(
@@ -153,12 +175,10 @@ def mm8_core_pallas_a8_stacked(xs8, q_stacked, layer, *, interpret=False):
     B, K = xs8.shape
     L, K2, M = q_stacked.shape
     assert K == K2 and xs8.dtype == jnp.int8
-    budget = 8 * 1024 * 1024
-    bm = _pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
-                             if K * c <= budget))
+    bm = _pick_bm(K, M)
     if not bm or B * K > _MAX_RESIDENT_X:
         raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
-    n_k = max(K // 2048, 1)
+    n_k = _pick_nk(K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -274,12 +294,10 @@ def mm8_fused_a8(x, mx, rx, my, ry, q, *, interpret=False):
     B, K = x.shape
     K2, M = q.shape
     assert K == K2
-    budget = 8 * 1024 * 1024
-    bm = _pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
-                             if K * c <= budget))
+    bm = _pick_bm(K, M)
     if not bm or B * K > _MAX_RESIDENT_X:
         raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
-    n_k = max(K // 2048, 1)
+    n_k = _pick_nk(K)
 
     *in_specs, o_spec = _fused_specs(B, K, M, bm)
     return pl.pallas_call(
@@ -317,12 +335,10 @@ def mm8_fused_a8_stacked(x, mx, rx, my, ry, q_stacked, layer, *,
     B, K = x.shape
     L, K2, M = q_stacked.shape
     assert K == K2
-    budget = 8 * 1024 * 1024
-    bm = _pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
-                             if K * c <= budget))
+    bm = _pick_bm(K, M)
     if not bm or B * K > _MAX_RESIDENT_X:
         raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
-    n_k = max(K // 2048, 1)
+    n_k = _pick_nk(K)
 
     *in_specs, o_spec = _fused_specs(B, K, M, bm, stacked_L=L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -360,10 +376,7 @@ def mm8_fused_a8_stacked(x, mx, rx, my, ry, q_stacked, layer, *,
 
 
 def mm8_core_supported(B: int, K: int, M: int) -> bool:
-    budget = 8 * 1024 * 1024
-    return bool(_pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
-                                    if K * c <= budget))
-                and B * K <= _MAX_RESIDENT_X)
+    return bool(_pick_bm(K, M) and B * K <= _MAX_RESIDENT_X)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -377,12 +390,10 @@ def mm8_core_pallas_stacked(xs, q_stacked, layer, *, interpret=False):
     B, K = xs.shape
     L, K2, M = q_stacked.shape
     assert K == K2
-    budget = 8 * 1024 * 1024
-    bm = _pick_tile(M, tuple(c for c in (2048, 1024, 512, 256, 128)
-                             if K * c <= budget))
+    bm = _pick_bm(K, M)
     if not bm or B * K > _MAX_RESIDENT_X:
         raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
-    n_k = max(K // 2048, 1)
+    n_k = _pick_nk(K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # layer index
