@@ -375,6 +375,133 @@ def mm8_fused_a8_stacked(x, mx, rx, my, ry, q_stacked, layer, *,
       rx.reshape(1, M), my.reshape(1, K), ry.reshape(1, K), q_stacked)
 
 
+def _a8_fused_multi_kernel(x_ref, xx_ref, mu_ref, mx_ref, rx_ref, my_ref,
+                           ry_ref, q_ref, o_ref, xs8_ref, stats_ref, *,
+                           n_k, n_in, tiles_per_in):
+    """Fused MULTI-matmul: n_in projections off the same (x, xx) pair.
+
+    Computes x_m = x + xx * mu[m] (the token-shift mix), quantizes each variant
+    once into scratch on grid step 0, then streams the horizontally-concatenated
+    weights; each M-tile selects its variant's int8 codes and stats. One kernel
+    launch and one (x, xx) read replace n_in launches + n_in materialized mixed
+    activations.
+
+    Shapes: x/xx (B, K); mu/my/ry (n_in, K); mx/rx (n_in*C,) concatenated;
+    q (K, n_in*C). stats rows per variant: [s, xs_sum, x_sum, xmy_sum].
+    """
+    f32 = jnp.float32
+    B = x_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _prep():
+        xf = x_ref[:].astype(f32)
+        xxf = xx_ref[:].astype(f32)
+        for m in range(n_in):
+            xm = xf + xxf * mu_ref[m, :][None, :].astype(f32)
+            ryv = ry_ref[m, :][None, :].astype(f32) * 16.0
+            myv = my_ref[m, :][None, :].astype(f32)
+            xs_f = xm * ryv
+            s = jnp.max(jnp.abs(xs_f), axis=1, keepdims=True) / 127.0
+            s = jnp.maximum(s, 1e-20)
+            xs8_ref[m] = jnp.round(xs_f / s).astype(jnp.int8)
+            stats_ref[:, 4 * m + 0:4 * m + 1] = s
+            stats_ref[:, 4 * m + 1:4 * m + 2] = jnp.sum(xs_f, axis=1,
+                                                        keepdims=True)
+            stats_ref[:, 4 * m + 2:4 * m + 3] = jnp.sum(xm, axis=1,
+                                                        keepdims=True)
+            stats_ref[:, 4 * m + 3:4 * m + 4] = jnp.sum(xm * myv, axis=1,
+                                                        keepdims=True)
+
+    rxv = rx_ref[:].astype(f32) * (16.0 / 256.0)
+    mxv = mx_ref[:].astype(f32)
+
+    def tile_for(m):
+        x8 = xs8_ref[m]
+        q = q_ref[0]
+        bk = x8.shape[1] // n_k
+        acc = jnp.dot(x8[:, :bk], q[:bk], preferred_element_type=jnp.int32)
+        for i in range(1, n_k):
+            acc += jnp.dot(x8[:, i * bk:(i + 1) * bk],
+                           q[i * bk:(i + 1) * bk],
+                           preferred_element_type=jnp.int32)
+        s = stats_ref[:, 4 * m + 0:4 * m + 1]
+        xs_sum = stats_ref[:, 4 * m + 1:4 * m + 2]
+        x_sum = stats_ref[:, 4 * m + 2:4 * m + 3]
+        xmy_sum = stats_ref[:, 4 * m + 3:4 * m + 4]
+        y = rxv * (acc.astype(f32) * s + 128.5 * xs_sum) + xmy_sum \
+            + mxv * x_sum
+        o_ref[:] = y.astype(o_ref.dtype)
+
+    which = pl.program_id(0) // tiles_per_in
+    for m in range(n_in):
+        @pl.when(which == m)
+        def _run(m=m):
+            tile_for(m)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mm8_fused_a8_multi_stacked(x, xx, mu, mx, rx, my, ry, q_stacked, layer, *,
+                               interpret=False):
+    """n_in token-shift-mixed projections of one layer in ONE fused kernel.
+
+    x, xx: (B, K). mu/my/ry: (n_in, K) per-projection vectors (already sliced
+    for `layer`). mx/rx: (n_in*C,) concatenated output scales. q_stacked:
+    (L, K, n_in*C) int8 codes, layer-indexed via scalar prefetch.
+    Returns (B, n_in*C) in x.dtype — callers split it per projection.
+    """
+    B, K = x.shape
+    L, K2, Mtot = q_stacked.shape
+    n_in = mu.shape[0]
+    assert K == K2 and Mtot % n_in == 0
+    C = Mtot // n_in
+    bm = _pick_bm(K, C)
+    if not bm or B * K > _MAX_RESIDENT_X:
+        raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={Mtot}")
+    n_k = _pick_nk(K)
+    tiles_per_in = C // bm
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mtot // bm,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda m, li: (0, 0)),          # x
+            pl.BlockSpec((B, K), lambda m, li: (0, 0)),          # xx
+            pl.BlockSpec((n_in, K), lambda m, li: (0, 0)),       # mu
+            pl.BlockSpec((1, bm), lambda m, li: (0, m)),         # mx
+            pl.BlockSpec((1, bm), lambda m, li: (0, m)),         # rx
+            pl.BlockSpec((n_in, K), lambda m, li: (0, 0)),       # my
+            pl.BlockSpec((n_in, K), lambda m, li: (0, 0)),       # ry
+            pl.BlockSpec((1, K, bm), lambda m, li: (li[0], 0, m)),
+        ],
+        out_specs=pl.BlockSpec((B, bm), lambda m, li: (0, m)),
+        scratch_shapes=[
+            pltpu.VMEM((n_in, B, K), jnp.int8),
+            pltpu.VMEM((B, 128), jnp.float32),
+        ],
+    )
+
+    def kernel(li_ref, *refs):
+        _a8_fused_multi_kernel(*refs, n_k=n_k, n_in=n_in,
+                               tiles_per_in=tiles_per_in)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Mtot), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * Mtot,
+            bytes_accessed=K * Mtot + 2 * B * K * x.dtype.itemsize
+            + B * Mtot * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, xx, mu,
+      mx.reshape(1, Mtot), rx.reshape(1, Mtot), my, ry, q_stacked)
+
+
 def mm8_core_supported(B: int, K: int, M: int) -> bool:
     return bool(_pick_bm(K, M) and B * K <= _MAX_RESIDENT_X)
 

@@ -232,6 +232,38 @@ def test_fused_a8_matches_decomposed(rng):
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_a8_multi_matches_separate(rng):
+    """The merged multi-projection kernel (token-shift mix + quant + GEMM +
+    corrections for n_in=3 in one call, interpret) == per-projection fused
+    calls on the pre-mixed activations."""
+    from chirrup_tpu.ops.mm8 import quantize
+    from chirrup_tpu.ops.mm8_pallas import (
+        mm8_fused_a8, mm8_fused_a8_multi_stacked)
+
+    B, K, C, L, n_in = 8, 256, 256, 2, 3
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    xx = jnp.asarray(rng.standard_normal((B, K)), jnp.float32) * 0.3
+    mu = jnp.asarray(rng.standard_normal((n_in, K)), jnp.float32) * 0.5
+    qs = [[quantize(rng.standard_normal((K, C)).astype(np.float32) * 0.05)
+           for _ in range(n_in)] for _ in range(L)]
+    q_cat = jnp.stack([jnp.concatenate([w.q for w in layer], axis=1)
+                       for layer in qs])                       # (L, K, 3C)
+    for li in range(L):
+        mx = jnp.concatenate([w.mx for w in qs[li]])
+        rx = jnp.concatenate([w.rx for w in qs[li]])
+        my = jnp.stack([w.my for w in qs[li]])
+        ry = jnp.stack([w.ry for w in qs[li]])
+        out = np.asarray(mm8_fused_a8_multi_stacked(
+            x, xx, mu, mx, rx, my, ry, q_cat, li, interpret=True))
+        for m in range(n_in):
+            xm = x + xx * mu[m]
+            w = qs[li][m]
+            ref = np.asarray(mm8_fused_a8(xm, w.mx, w.rx, w.my, w.ry, w.q,
+                                          interpret=True))
+            np.testing.assert_allclose(out[:, m * C:(m + 1) * C], ref,
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_mm8_matmul_layer_indexed_matches_sliced(rng):
     """mm8_matmul(LayerIndexed(w, li)) == mm8_matmul on the sliced per-layer
     weight (XLA core path, as used on CPU)."""
