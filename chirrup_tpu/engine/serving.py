@@ -99,18 +99,39 @@ def _quantize_params(params):
     return out
 
 
+def _merge_att_rkv(params):
+    """Merge the stacked att R/K/V Mm8Weights into one Mm8MultiWeight so the
+    single-chip step computes all three projections (plus their token-shift
+    mixes and activation quantization) in ONE fused Pallas launch
+    (ops/mm8_pallas.mm8_fused_a8_multi_stacked). No-op unless all three are
+    quantized. Not applied under a mesh: the GSPMD path uses the XLA core."""
+    att = params["blocks"]["att"]
+    ws = [att.get(k) for k in ("Wr", "Wk", "Wv")]
+    if not all(isinstance(w, mm8.Mm8Weight) for w in ws):
+        return params
+    att = {k: v for k, v in att.items() if k not in ("Wr", "Wk", "Wv")}
+    att["Wrkv"] = mm8.merge_stacked(ws)
+    blocks = dict(params["blocks"])
+    blocks["att"] = att
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
 def _cast_params(params, dtype):
     """Cast dense float weights to the activation dtype. Mm8Weight subtrees pass
     through untouched (int8 codes + f32 scales)."""
+    _mm8_types = (mm8.Mm8Weight, mm8.Mm8MultiWeight)
+
     def cast(x):
-        if isinstance(x, mm8.Mm8Weight):
+        if isinstance(x, _mm8_types):
             return x
         if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(dtype)
         return x
 
     return jax.tree_util.tree_map(
-        cast, params, is_leaf=lambda x: isinstance(x, mm8.Mm8Weight))
+        cast, params, is_leaf=lambda x: isinstance(x, _mm8_types))
 
 
 class ServingModel:
@@ -140,6 +161,8 @@ class ServingModel:
                 params, is_leaf=lambda x: isinstance(x, mm8.Mm8Weight)))
         if runtime.quantization == "int8" and not already_quantized:
             params = _quantize_params(params)
+        if mesh is None:
+            params = _merge_att_rkv(params)
         self.params = _cast_params(params, runtime.activation_dtype)
 
         if runtime.use_pallas_wkv:

@@ -109,17 +109,26 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
     H, N = C // HEAD_SIZE, HEAD_SIZE
 
     xx = jnp.concatenate([shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
-    xr = x + xx * att["x_r"]
     xw = x + xx * att["x_w"]
-    xk = x + xx * att["x_k"]
     xv = x + xx * att["x_v"]
     xa = x + xx * att["x_a"]
     xg = x + xx * att["x_g"]
 
-    r = matmul(xr, att["Wr"])
+    if "Wrkv" in att:
+        # merged R/K/V: one fused mm8 kernel computes all three token-shift
+        # mixes + projections off the shared (x, xx) pair (serving int8 path)
+        mrkv = att["Wrkv"]
+        mu = jnp.stack([att["x_r"].reshape(-1), att["x_k"].reshape(-1),
+                        att["x_v"].reshape(-1)])
+        rkv = mm8.mm8_multi_matmul(x, xx, mu, mrkv.w, mrkv.li)
+        r, k, v = jnp.split(rkv, 3, axis=-1)
+    else:
+        xr = x + xx * att["x_r"]
+        xk = x + xx * att["x_k"]
+        r = matmul(xr, att["Wr"])
+        k = matmul(xk, att["Wk"])
+        v = matmul(xv, att["Wv"])
     w_raw = matmul(jnp.tanh(matmul(xw, att["w1"])), att["w2"]) + att["w0"]
-    k = matmul(xk, att["Wk"])
-    v = matmul(xv, att["Wv"])
     a = jax.nn.sigmoid(matmul(matmul(xa, att["a1"]), att["a2"]) + att["a0"])
     g = matmul(jax.nn.sigmoid(matmul(xg, att["g1"])), att["g2"])
 
@@ -174,9 +183,11 @@ def _backbone(params, x, state: RWKVState, lengths, wkv_fn):
         # stacked buffer — slicing the codes here would materialize a full
         # per-layer weight copy in HBM in front of every opaque pallas call
         blk = jax.tree_util.tree_map(
-            lambda a: (mm8.LayerIndexed(a, li) if isinstance(a, mm8.Mm8Weight)
+            lambda a: (mm8.LayerIndexed(a, li)
+                       if isinstance(a, (mm8.Mm8Weight, mm8.Mm8MultiWeight))
                        else jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)),
-            blocks, is_leaf=lambda a: isinstance(a, mm8.Mm8Weight))
+            blocks,
+            is_leaf=lambda a: isinstance(a, (mm8.Mm8Weight, mm8.Mm8MultiWeight)))
         shift_l = jax.lax.dynamic_index_in_dim(shift, li, 0, keepdims=False)
         is_first = (li == 0)
         xn = layer_norm(xc, blk["ln1_w"], blk["ln1_b"])

@@ -170,6 +170,79 @@ def _int8_core_auto(xs, q):
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class Mm8MultiWeight:
+    """n Mm8Weights with the same input dim K merged along the output dim.
+
+    Built by merge_stacked() from stacked per-layer weights so projections that
+    share the same (x, xx) token-shift inputs (TMix R/K/V) run as ONE fused
+    Pallas launch (mm8_pallas.mm8_fused_a8_multi_stacked): one resident
+    activation pair, one weight stream, one output write."""
+
+    q: Any   # (L, K, n*C) int8 — horizontally concatenated codes
+    mx: Any  # (L, n*C) f32 concatenated per-column offsets
+    rx: Any  # (L, n*C) f32 concatenated per-column scales (/16)
+    my: Any  # (L, n, K) f32 per-projection per-row offsets
+    ry: Any  # (L, n, K) f32 per-projection per-row scales (/16)
+
+    @property
+    def n_in(self) -> int:
+        return self.my.shape[1]
+
+
+def merge_stacked(ws) -> Mm8MultiWeight:
+    """Merge stacked (L, K, C_i) Mm8Weights sharing K into one Mm8MultiWeight.
+    All C_i must be equal (the fused kernel tiles a uniform per-projection C)."""
+    assert len({w.q.shape for w in ws}) == 1, [w.q.shape for w in ws]
+    return Mm8MultiWeight(
+        q=jnp.concatenate([w.q for w in ws], axis=2),
+        mx=jnp.concatenate([w.mx for w in ws], axis=1),
+        rx=jnp.concatenate([w.rx for w in ws], axis=1),
+        my=jnp.stack([w.my for w in ws], axis=1),
+        ry=jnp.stack([w.ry for w in ws], axis=1),
+    )
+
+
+def mm8_multi_matmul(x, xx, mu, w: Mm8MultiWeight, li):
+    """n token-shift-mixed projections y_m = (x + xx*mu[m]) @ W_m in one call.
+
+    x, xx: (..., K) float (xx is the token-shift delta); mu: (n, K) mix vectors.
+    Returns (..., n*C) in x.dtype — callers split per projection. On the TPU
+    pallas_a8 path this is a single fused kernel launch; elsewhere it falls back
+    to per-projection mm8_matmul on sliced views (exact same math as unmerged).
+    """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    Mtot = w.q.shape[2]
+    n = w.n_in
+    C = Mtot // n
+    x2 = x.reshape(-1, K)
+    B = x2.shape[0]
+    if _resolved_core() == "pallas_a8":
+        from chirrup_tpu.ops.mm8_pallas import (
+            mm8_core_supported, mm8_fused_a8_multi_stacked)
+
+        if mm8_core_supported(B, K, C):
+            pick = lambda v: jax.lax.dynamic_index_in_dim(
+                v, li, 0, keepdims=False)
+            y = mm8_fused_a8_multi_stacked(
+                x2, xx.reshape(-1, K), jnp.asarray(mu), pick(w.mx), pick(w.rx),
+                pick(w.my), pick(w.ry), w.q, li)
+            return y.reshape(lead + (Mtot,))
+    outs = []
+    for m in range(n):
+        xm = x + xx * mu[m]
+        pick = lambda v: jax.lax.dynamic_index_in_dim(v, li, 0, keepdims=False)
+        wm = Mm8Weight(
+            q=pick(w.q)[:, m * C:(m + 1) * C],
+            mx=pick(w.mx)[m * C:(m + 1) * C],
+            rx=pick(w.rx)[m * C:(m + 1) * C],
+            my=pick(w.my)[m], ry=pick(w.ry)[m])
+        outs.append(mm8_matmul(xm, wm))
+    return jnp.concatenate(outs, axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class LayerIndexed:
     """Layer `li` of a stacked (L, ...) Mm8Weight, WITHOUT slicing the codes.
 

@@ -285,3 +285,28 @@ def test_mm8_matmul_layer_indexed_matches_sliced(rng):
         got = mm8_matmul(x, LayerIndexed(stacked, jnp.int32(li)))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_mm8_multi_matmul_fallback_matches_unmerged(rng):
+    """mm8_multi_matmul's non-Pallas fallback == per-projection mm8_matmul on the
+    unmerged weights (exact: merge+slice is value-preserving)."""
+    from chirrup_tpu.ops.mm8 import (Mm8Weight, merge_stacked, mm8_multi_matmul,
+                                     quantize)
+
+    B, T, K, C, L, n = 3, 2, 128, 256, 2, 3
+    x = jnp.asarray(rng.standard_normal((B, T, K)), jnp.float32)
+    xx = jnp.asarray(rng.standard_normal((B, T, K)), jnp.float32) * 0.2
+    mu = jnp.asarray(rng.standard_normal((n, K)), jnp.float32) * 0.5
+    per_layer = [[quantize(rng.standard_normal((K, C)).astype(np.float32))
+                  for _ in range(n)] for _ in range(L)]
+    stacked = [Mm8Weight(*[jnp.stack([getattr(per_layer[li][m], f)
+                                      for li in range(L)])
+                           for f in ("q", "mx", "rx", "my", "ry")])
+               for m in range(n)]
+    merged = merge_stacked(stacked)
+    for li in range(L):
+        out = np.asarray(mm8_multi_matmul(x, xx, mu, merged, li))
+        assert out.shape == (B, T, n * C)
+        for m in range(n):
+            ref = np.asarray(mm8_matmul(x + xx * mu[m], per_layer[li][m]))
+            np.testing.assert_array_equal(out[..., m * C:(m + 1) * C], ref)
