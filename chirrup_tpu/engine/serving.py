@@ -46,16 +46,17 @@ class BatchCarry:
 
     state: RWKVState        # shift (L,2,B,C), wkv (L,B,N,HN), elapsed (B,)
     occurrence: Any         # (B, V) f32
-    presence_vec: Any       # (B, V) f32
+    presence_vec: Any       # (B, V) f32 — presence-penalty bias, PLUS 1e10 at
+                            # forbidden token ids (folded in at slot insert so
+                            # the step reads one (B, V) bias buffer, not two;
+                            # forbidden ids are never sampled, so the sampled-
+                            # token overwrite can't clobber the forbidden bias)
     temperature: Any        # (B,) f32
     top_p: Any              # (B,) f32
     top_k: Any              # (B,) i32
     frequency_penalty: Any  # (B,) f32
     presence_penalty: Any   # (B,) f32
     penalty_decay: Any      # (B,) f32
-    forbidden_bias: Any     # (B, V) f32: 1e10 at forbidden token ids, else 0 —
-                            # precomputed at insert so the step pays ONE fused
-                            # read instead of MAX_FORBIDDEN iota-compare passes
     last_sampled: Any       # (B,) i32 — device-resident decode feedback (pipelining)
     rng: Any                # jax PRNG key
 
@@ -261,7 +262,6 @@ class ServingModel:
             frequency_penalty=jnp.zeros((B,), f32),
             presence_penalty=jnp.zeros((B,), f32),
             penalty_decay=jnp.ones((B,), f32),
-            forbidden_bias=jnp.zeros((B, V), f32),
             last_sampled=jnp.full((B,), -1, jnp.int32),
             rng=jax.random.key(self._seed),
         )
@@ -297,11 +297,10 @@ class ServingModel:
         occurrence = jnp.where(decode_mask[:, None],
                                carry.occurrence * carry.penalty_decay[:, None],
                                carry.occurrence)
-        # forbidden tokens -> -1e10 (reference worker.py:719-722) via the
-        # precomputed bias — fuses into the same elementwise pass as penalties
+        # forbidden tokens -> -1e10 (reference worker.py:719-722) via the bias
+        # folded into presence_vec at insert — one (B, V) bias read per step
         adj = logits - (carry.presence_vec
-                        + occurrence * carry.frequency_penalty[:, None]
-                        + carry.forbidden_bias)
+                        + occurrence * carry.frequency_penalty[:, None])
 
         rng, key = jax.random.split(carry.rng)
         sampled = sample_logits_rwkv_pip_fast(
@@ -380,17 +379,19 @@ class ServingModel:
             carry,
             state=RWKVState(shift=new_shift, wkv=new_wkv, elapsed=new_elapsed),
             occurrence=jnp.where(onehot[:, None], 0.0, carry.occurrence),
-            presence_vec=jnp.where(onehot[:, None], 0.0, carry.presence_vec),
+            # fresh row = the forbidden-token bias (1e10 at forbidden ids);
+            # presence penalties then accumulate on top during decode
+            presence_vec=jnp.where(
+                onehot[:, None],
+                _forbidden_bias_row(forbidden,
+                                    carry.presence_vec.shape[1])[None, :],
+                carry.presence_vec),
             temperature=set_row(carry.temperature, temperature),
             top_p=set_row(carry.top_p, top_p),
             top_k=jnp.where(onehot, top_k, carry.top_k),
             frequency_penalty=set_row(carry.frequency_penalty, frequency_penalty),
             presence_penalty=set_row(carry.presence_penalty, presence_penalty),
             penalty_decay=set_row(carry.penalty_decay, penalty_decay),
-            forbidden_bias=jnp.where(
-                onehot[:, None], _forbidden_bias_row(
-                    forbidden, carry.forbidden_bias.shape[1])[None, :],
-                carry.forbidden_bias),
             last_sampled=jnp.where(onehot, -1, carry.last_sampled),
         )
 

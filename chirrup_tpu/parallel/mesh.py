@@ -137,7 +137,6 @@ def carry_shardings(mesh: Mesh, batch_sharded: bool = False):
         presence_vec=_ns(mesh, b, "tp"),
         temperature=vec, top_p=vec, top_k=vec,
         frequency_penalty=vec, presence_penalty=vec, penalty_decay=vec,
-        forbidden_bias=_ns(mesh, b, "tp"),  # aligns with the sharded logits
         last_sampled=vec,
         rng=_ns(mesh),
     )
