@@ -119,6 +119,39 @@ def _merge_att_rkv(params):
     return out
 
 
+def _pack_att_lora(params):
+    """Pack the four TMix LoRA chains (decay w, iclr a, v-gate v, gate g) into
+    batched (L, 4, C, D) / (L, 4, D, C) tensors so each layer runs TWO batched
+    einsums instead of eight narrow dots (their N dims of 32-128 are well under
+    MXU width, so the eight launches are latency- not flops-bound).
+
+    Zero-padding to the common D keeps the math exact: padded stage-1 columns
+    are 0 (or sigmoid(0)=0.5 for the g slice), and the matching stage-2 rows
+    are 0, so padded lanes contribute nothing."""
+    att = dict(params["blocks"]["att"])
+    names1 = ("w1", "a1", "v1", "g1")
+    names2 = ("w2", "a2", "v2", "g2")
+    if not all(n in att for n in names1 + names2):
+        return params
+    D = max(att[n].shape[2] for n in names1)
+
+    def pad1(w):  # (L, C, d) -> (L, C, D)
+        return jnp.pad(w, ((0, 0), (0, 0), (0, D - w.shape[2])))
+
+    def pad2(w):  # (L, d, C) -> (L, D, C)
+        return jnp.pad(w, ((0, 0), (0, D - w.shape[1]), (0, 0)))
+
+    att["lora1"] = jnp.stack([pad1(att[n]) for n in names1], axis=1)
+    att["lora2"] = jnp.stack([pad2(att[n]) for n in names2], axis=1)
+    for n in names1 + names2:
+        del att[n]
+    blocks = dict(params["blocks"])
+    blocks["att"] = att
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
 def _cast_params(params, dtype):
     """Cast dense float weights to the activation dtype. Mm8Weight subtrees pass
     through untouched (int8 codes + f32 scales)."""
@@ -164,6 +197,7 @@ class ServingModel:
             params = _quantize_params(params)
         if mesh is None:
             params = _merge_att_rkv(params)
+            params = _pack_att_lora(params)
         self.params = _cast_params(params, runtime.activation_dtype)
 
         if runtime.use_pallas_wkv:

@@ -109,10 +109,6 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
     H, N = C // HEAD_SIZE, HEAD_SIZE
 
     xx = jnp.concatenate([shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
-    xw = x + xx * att["x_w"]
-    xv = x + xx * att["x_v"]
-    xa = x + xx * att["x_a"]
-    xg = x + xx * att["x_g"]
 
     if "Wrkv" in att:
         # merged R/K/V: one fused mm8 kernel computes all three token-shift
@@ -125,19 +121,43 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
     else:
         xr = x + xx * att["x_r"]
         xk = x + xx * att["x_k"]
+        xv = x + xx * att["x_v"]
         r = matmul(xr, att["Wr"])
         k = matmul(xk, att["Wk"])
         v = matmul(xv, att["Wv"])
-    w_raw = matmul(jnp.tanh(matmul(xw, att["w1"])), att["w2"]) + att["w0"]
-    a = jax.nn.sigmoid(matmul(matmul(xa, att["a1"]), att["a2"]) + att["a0"])
-    g = matmul(jax.nn.sigmoid(matmul(xg, att["g1"])), att["g2"])
+
+    if "lora1" in att:
+        # packed LoRA chains (w/a/v-gate/g): two batched einsums over the
+        # stacked token-shift mixes replace eight narrow (N=32..128) dots
+        mu4 = jnp.stack([att["x_w"].reshape(-1), att["x_a"].reshape(-1),
+                         att["x_v"].reshape(-1), att["x_g"].reshape(-1)])
+        X4 = x.reshape(1, B * T, C) + xx.reshape(1, B * T, C) * mu4[:, None, :]
+        s1 = jnp.einsum("nbk,nkd->nbd", X4, att["lora1"],
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        s1 = jnp.stack([jnp.tanh(s1[0]), s1[1], s1[2], jax.nn.sigmoid(s1[3])])
+        s2 = jnp.einsum("nbd,ndc->nbc", s1, att["lora2"],
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        s2 = s2.reshape(4, B, T, C)
+        w_raw = s2[0] + att["w0"]
+        a = jax.nn.sigmoid(s2[1] + att["a0"])
+        v_gate_pre = s2[2] + att["v0"]
+        g = s2[3]
+    else:
+        xw = x + xx * att["x_w"]
+        xa = x + xx * att["x_a"]
+        xv = x + xx * att["x_v"]
+        xg = x + xx * att["x_g"]
+        w_raw = matmul(jnp.tanh(matmul(xw, att["w1"])), att["w2"]) + att["w0"]
+        a = jax.nn.sigmoid(matmul(matmul(xa, att["a1"]), att["a2"]) + att["a0"])
+        g = matmul(jax.nn.sigmoid(matmul(xg, att["g1"])), att["g2"])
+        v_gate_pre = matmul(matmul(xv, att["v1"]), att["v2"]) + att["v0"]
 
     kk = _l2_normalize_heads(k * att["k_k"], H, N)
     k = k * (1 + (a - 1) * att["k_a"])
     kka = kk * a
 
     # layer 0 captures v_first; later layers blend toward it (rwkv7.py:636-637)
-    v_gate = jax.nn.sigmoid(matmul(matmul(xv, att["v1"]), att["v2"]) + att["v0"])
+    v_gate = jax.nn.sigmoid(v_gate_pre)
     v_first_new = jnp.where(layer_is_first, v, v_first)
     v = jnp.where(layer_is_first, v, v + (v_first - v) * v_gate)
 

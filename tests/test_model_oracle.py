@@ -106,3 +106,21 @@ def test_state_size_accounting():
     mb = cfg72.state_bytes_per_request(jnp.float16) / 1024 / 1024
     # reference quotes ~16.5 MB/request at 7.2B fp16 (SURVEY §2.2 M2)
     assert 16.0 < mb < 17.5
+
+
+def test_packed_lora_matches_unpacked(params):
+    """_pack_att_lora (two batched einsums for the w/a/v-gate/g chains) gives
+    the same logits/state as the eight-dot path."""
+    from chirrup_tpu.engine.serving import _pack_att_lora
+
+    packed = _pack_att_lora(params)
+    att = packed["blocks"]["att"]
+    assert "lora1" in att and "w1" not in att
+    tokens = jnp.asarray([[5, 9, 2, 44]], jnp.int32)
+    st0 = m.init_state(CFG, 1)
+    lg1, s1 = m.forward_seq(params, tokens, st0)
+    lg2, s2 = m.forward_seq(packed, tokens, m.init_state(CFG, 1))
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1.wkv), np.asarray(s2.wkv),
+                               rtol=2e-5, atol=2e-5)
