@@ -179,7 +179,7 @@ def _cmix(ffn, x, shift_prev, lengths):
     (Albatross/rwkv7.py:674-679)."""
     xx = jnp.concatenate([shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
     kx = x + xx * ffn["x_k"]
-    kk = jnp.square(jax.nn.relu(matmul(kx, ffn["Wk"])))
+    kk = matmul(kx, ffn["Wk"], activation="relu2")  # relu^2 fused in-kernel
     out = matmul(kk, ffn["Wv"])
     new_shift = _masked_last(x, lengths, shift_prev)
     return out, new_shift

@@ -7,14 +7,22 @@ dispatch to chirrup_tpu.ops.mm8.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def matmul(x, w):
+def matmul(x, w, *, activation=None):
     """x @ w with fp32 MXU accumulation; w may be a dense array, an Mm8Weight, or
-    a LayerIndexed view into a stacked Mm8Weight."""
+    a LayerIndexed view into a stacked Mm8Weight. `activation` ("relu2") is an
+    output epilogue — fused into the Pallas mm8 kernel on the TPU path."""
     from chirrup_tpu.ops.mm8 import LayerIndexed, Mm8Weight, mm8_matmul
 
     if isinstance(w, (Mm8Weight, LayerIndexed)):
-        return mm8_matmul(x, w)
-    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+        return mm8_matmul(x, w, activation=activation)
+    y = jnp.dot(x, w.astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    if activation == "relu2":
+        y = jnp.square(jax.nn.relu(y))
+    elif activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
+    return y

@@ -260,12 +260,14 @@ class LayerIndexed:
         return self.w.q.shape[1:]
 
 
-def mm8_matmul(x, w, *, core=None):
+def mm8_matmul(x, w, *, core=None, activation=None):
     """Decomposed-dequant matmul. x: (..., K) float; returns (..., M) in x.dtype.
 
     w: Mm8Weight, or LayerIndexed for one layer of a stacked Mm8Weight.
     `core` overrides the inner int8 GEMM; default picks the Pallas fused-dequant
     kernel on TPU (1 byte/weight HBM traffic) and the XLA dot elsewhere.
+    `activation` ("relu2") is applied to the output — in-kernel on the fused
+    Pallas path, as an XLA epilogue otherwise.
 
     On the default TPU path (resolved core "pallas_a8") the ENTIRE matmul —
     activation scale+quantize, int8 GEMM, rank-1 dequant corrections — runs as
@@ -287,12 +289,13 @@ def mm8_matmul(x, w, *, core=None):
                     v, w.li, 0, keepdims=False)
                 y = mm8_fused_a8_stacked(
                     x2, pick(w.w.mx), pick(w.w.rx), pick(w.w.my),
-                    pick(w.w.ry), w.w.q, w.li)
+                    pick(w.w.ry), w.w.q, w.li, activation=activation)
                 return y.reshape(lead + (Mo,))
         else:
             Mo = w.q.shape[1]
             if mm8_core_supported(B, K, Mo):
-                y = mm8_fused_a8(x2, w.mx, w.rx, w.my, w.ry, w.q)
+                y = mm8_fused_a8(x2, w.mx, w.rx, w.my, w.ry, w.q,
+                                 activation=activation)
                 return y.reshape(lead + (Mo,))
 
     if isinstance(w, LayerIndexed):
@@ -350,4 +353,8 @@ def mm8_matmul(x, w, *, core=None):
     # (q_i8 + 128.5) = (q_u8 + 0.5): fold the int8 shift into the rank-1 correction
     y = (rx[None, :] / 256.0) * (core_out + 128.5 * xs_sum) + xmy_sum \
         + mx[None, :] * x_sum
+    if activation == "relu2":
+        y = jnp.square(jnp.maximum(y, 0.0))
+    elif activation is not None:
+        raise ValueError(f"unknown mm8 activation {activation!r}")
     return y.reshape(lead + (M,)).astype(in_dtype)

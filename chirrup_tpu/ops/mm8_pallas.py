@@ -217,8 +217,19 @@ def mm8_core_pallas_a8_stacked(xs8, q_stacked, layer, *, interpret=False):
     )(jnp.asarray(layer, jnp.int32).reshape(1), xs8, q_stacked)
 
 
+def _apply_activation(y, activation):
+    """Output epilogue applied in-kernel (f32, before the output cast). 'relu2'
+    is the CMix relu-squared (reference Albatross/rwkv7.py:674-679) — fusing it
+    here saves an XLA read+write pass over the (B, d_ffn) activation."""
+    if activation is None:
+        return y
+    if activation == "relu2":
+        return jnp.square(jnp.maximum(y, 0.0))
+    raise ValueError(f"unknown mm8 activation {activation!r}")
+
+
 def _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref, o_ref,
-                     xs8_ref, stats_ref, *, n_k):
+                     xs8_ref, stats_ref, *, n_k, activation=None):
     """Whole mm8 matmul in one kernel: activation scale+quantize, int8 GEMM,
     decomposed-dequant corrections, bf16 output.
 
@@ -260,6 +271,7 @@ def _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref, o_ref,
     rxv = rx_ref[:].astype(f32) * (16.0 / 256.0)      # (1, bm)
     mxv = mx_ref[:].astype(f32)                       # (1, bm)
     y = rxv * (acc.astype(f32) * s + 128.5 * xs_sum) + xmy_sum + mxv * x_sum
+    y = _apply_activation(y, activation)
     o_ref[:] = y.astype(o_ref.dtype)
 
 
@@ -284,8 +296,8 @@ def _fused_specs(B, K, M, bm, stacked_L=None):
             q_spec, o_spec)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def mm8_fused_a8(x, mx, rx, my, ry, q, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "activation"))
+def mm8_fused_a8(x, mx, rx, my, ry, q, *, interpret=False, activation=None):
     """Fused full mm8 matmul: (B, K) float x (K, M) int8 -> (B, M) in x.dtype.
 
     Scale vectors are the Mm8Weight fields (rx/ry stored /16). Equivalent to
@@ -301,7 +313,7 @@ def mm8_fused_a8(x, mx, rx, my, ry, q, *, interpret=False):
 
     *in_specs, o_spec = _fused_specs(B, K, M, bm)
     return pl.pallas_call(
-        functools.partial(_a8_fused_kernel, n_k=n_k),
+        functools.partial(_a8_fused_kernel, n_k=n_k, activation=activation),
         grid=(M // bm,),
         in_specs=list(in_specs),
         out_specs=o_spec,
@@ -324,9 +336,9 @@ def mm8_fused_a8(x, mx, rx, my, ry, q, *, interpret=False):
       ry.reshape(1, K), q)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "activation"))
 def mm8_fused_a8_stacked(x, mx, rx, my, ry, q_stacked, layer, *,
-                         interpret=False):
+                         interpret=False, activation=None):
     """Fused full mm8 matmul on layer `layer` of stacked (L, K, M) int8 codes.
 
     The per-layer scale vectors are passed already sliced (they are O(K+M) f32 —
@@ -355,7 +367,8 @@ def mm8_fused_a8_stacked(x, mx, rx, my, ry, q_stacked, layer, *,
     def kernel(li_ref, x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref, o_ref,
                xs8_ref, stats_ref):
         _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref[0],
-                         o_ref, xs8_ref, stats_ref, n_k=n_k)
+                         o_ref, xs8_ref, stats_ref, n_k=n_k,
+                         activation=activation)
 
     return pl.pallas_call(
         kernel,
@@ -392,25 +405,32 @@ def _a8_fused_multi_kernel(x_ref, xx_ref, mu_ref, mx_ref, rx_ref, my_ref,
     f32 = jnp.float32
     B = x_ref.shape[0]
 
-    @pl.when(pl.program_id(0) == 0)
-    def _prep():
+    def _prep_variant(m):
+        """Quantize variant m's mixed activations into scratch. Lazy: runs at
+        variant m's FIRST tile, so variants 1.. prep while earlier variants'
+        int8 dots occupy the MXU (an eager prep-all at step 0 serialized ~3x
+        the VPU work in front of the pipeline — measured 54% vs ~75% of HBM
+        speed-of-light for the single-projection kernels)."""
         xf = x_ref[:].astype(f32)
         xxf = xx_ref[:].astype(f32)
-        for m in range(n_in):
-            xm = xf + xxf * mu_ref[m, :][None, :].astype(f32)
-            ryv = ry_ref[m, :][None, :].astype(f32) * 16.0
-            myv = my_ref[m, :][None, :].astype(f32)
-            xs_f = xm * ryv
-            s = jnp.max(jnp.abs(xs_f), axis=1, keepdims=True) / 127.0
-            s = jnp.maximum(s, 1e-20)
-            xs8_ref[m] = jnp.round(xs_f / s).astype(jnp.int8)
-            stats_ref[:, 4 * m + 0:4 * m + 1] = s
-            stats_ref[:, 4 * m + 1:4 * m + 2] = jnp.sum(xs_f, axis=1,
-                                                        keepdims=True)
-            stats_ref[:, 4 * m + 2:4 * m + 3] = jnp.sum(xm, axis=1,
-                                                        keepdims=True)
-            stats_ref[:, 4 * m + 3:4 * m + 4] = jnp.sum(xm * myv, axis=1,
-                                                        keepdims=True)
+        xm = xf + xxf * mu_ref[m, :][None, :].astype(f32)
+        ryv = ry_ref[m, :][None, :].astype(f32) * 16.0
+        myv = my_ref[m, :][None, :].astype(f32)
+        xs_f = xm * ryv
+        s = jnp.max(jnp.abs(xs_f), axis=1, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-20)
+        xs8_ref[m] = jnp.round(xs_f / s).astype(jnp.int8)
+        stats_ref[:, 4 * m + 0:4 * m + 1] = s
+        stats_ref[:, 4 * m + 1:4 * m + 2] = jnp.sum(xs_f, axis=1,
+                                                    keepdims=True)
+        stats_ref[:, 4 * m + 2:4 * m + 3] = jnp.sum(xm, axis=1, keepdims=True)
+        stats_ref[:, 4 * m + 3:4 * m + 4] = jnp.sum(xm * myv, axis=1,
+                                                    keepdims=True)
+
+    for m in range(n_in):
+        @pl.when(pl.program_id(0) == m * tiles_per_in)
+        def _prep(m=m):
+            _prep_variant(m)
 
     rxv = rx_ref[:].astype(f32) * (16.0 / 256.0)
     mxv = mx_ref[:].astype(f32)

@@ -120,10 +120,124 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
     state_out_ref[0] = S_fin.astype(state_out_ref.dtype)
 
 
+def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
+                    v_ref, elapsed_ref, length_ref, y_ref, state_out_ref, *,
+                    use_dither, precision):
+    """Decode-specialized (T=1) variant: r/w/k/a/b are plain 2-D (Bt, HN)
+    lane-layout rows (the generic path's (B, 1, C) shapes made XLA insert
+    T(2,128) relayout copies in front of the call — profiled ~2.3 ms/step at
+    B=200/7.2B). v/y keep the host-side per-head transpose to (Bt, N, H):
+    Mosaic cannot split the lane dim in-kernel (unsupported shape cast)."""
+    _, Bt, N, HN = state_ref.shape
+    H = HN // _N
+    f32 = jnp.float32
+
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 0) // _N
+    head_id = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 1)
+    seg = (lane_head == head_id).astype(f32)
+    segT = seg.T
+
+    active_row = (length_ref[:] > 0)                    # (Bt, 1)
+    active = active_row[:, :, None]                     # (Bt, 1, 1)
+
+    S = state_ref[0].astype(f32)                        # (Bt, N, HN)
+    r_row = r_ref[:].astype(f32)[:, None, :]            # (Bt, 1, HN)
+    w_row = w_ref[:].astype(f32)[:, None, :]
+    k_row = k_ref[:].astype(f32)[:, None, :]
+    a_row = a_ref[:].astype(f32)[:, None, :]
+    b_row = b_ref[:].astype(f32)[:, None, :]
+    v_nh = v_ref[:].astype(f32)                         # (Bt, N, H)
+
+    d_row = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_row)) - 1.0
+    if use_dither:
+        u = jnp.uint32(2654435769) * elapsed_ref[:].astype(jnp.uint32)
+        dither = (jax.lax.bitcast_convert_type(u, jnp.int32)
+                  .astype(f32) * _DITHER_SCALE)[:, :, None]
+        d_row = d_row + dither
+
+    d1 = 1.0 + d_row
+    d1r = d1 * r_row
+    X = jnp.concatenate([
+        (S * a_row).reshape(Bt * N, HN),
+        (S * d1r).reshape(Bt * N, HN),
+        (r_row * k_row).reshape(Bt, HN),
+        (r_row * b_row).reshape(Bt, HN)], axis=0)
+    R = _dot32(X, seg, precision)
+    sa_nh = R[:Bt * N].reshape(Bt, N, H)
+    y1 = R[Bt * N:2 * Bt * N].reshape(Bt, N, H)
+    rk = R[2 * Bt * N:2 * Bt * N + Bt].reshape(Bt, 1, H)
+    rb = R[2 * Bt * N + Bt:].reshape(Bt, 1, H)
+    BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, H),
+                                 sa_nh.reshape(Bt * N, H)], axis=0),
+                segT, precision)
+    v_exp = BC[:Bt * N].reshape(Bt, N, HN)
+    sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
+    S_new = S * d1 + v_exp * k_row + sa_exp * b_row
+    y = y1 + v_nh * rk + sa_nh * rb                     # (Bt, N, H)
+    y_ref[:] = jnp.where(active, y, 0.0).astype(y_ref.dtype)
+    state_out_ref[0] = jnp.where(active, S_new, S).astype(state_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
+                                              "precision"))
+def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,
+                         lengths, *, use_dither=True, interpret=False,
+                         precision="highest"):
+    """T=1 decode step: state STACKED (L, B, N, HN) in-place on layer `layer`;
+    r..b: (B, HN) lane layout; v/y: (B, N, H) i-on-sublane (host-transposed)."""
+    B, HN = r.shape
+    N = _N
+    H = HN // N
+    L = state.shape[0]
+    Bt = _pick_batch_tile(B, 1, HN)
+
+    def bspec(*tile):
+        return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
+
+    state_spec = pl.BlockSpec((1, Bt, N, HN), lambda i, li: (li[0], i, 0, 0))
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_wkv7_kernel_t1, use_dither=use_dither,
+                               precision=prec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // Bt,),
+        in_specs=[
+            state_spec,
+            bspec(HN), bspec(HN), bspec(HN), bspec(HN), bspec(HN),  # r w k a b
+            bspec(N, H),                                            # v
+            bspec(1), bspec(1),                                     # elapsed len
+        ],
+        out_specs=[bspec(N, H), state_spec],
+    )
+    y, state_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, H), r.dtype),
+            jax.ShapeDtypeStruct(state.shape, state.dtype),
+        ],
+        input_output_aliases={1: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * B * N * HN * (HN // _N) + 4 * B * N * HN,
+            bytes_accessed=2 * B * N * HN * state.dtype.itemsize
+            + 6 * B * HN * r.dtype.itemsize,
+            transcendentals=B * HN,
+        ),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), state, r, w_raw, k, a, b, v,
+      elapsed[:, None], lengths[:, None])
+    return y, state_out
+
+
 def _pick_batch_tile(B: int, T: int, HN: int) -> int:
     """Largest Bt with the program's VMEM footprint ~under 48MB (state f32 tile +
-    double-buffered bf16 staging of state/rows), so Mosaic can still double-buffer."""
-    for bt in (16, 8, 4, 2, 1):
+    double-buffered bf16 staging of state/rows), so Mosaic can still double-buffer.
+    Swept at 7.2B decode (B=200): Bt=20 73.0%, Bt=8 71.9% of state-traffic SOL."""
+    for bt in (20, 16, 8, 4, 2, 1):
         if B % bt:
             continue
         footprint = (bt * _N * HN * 4                 # S carry f32
@@ -222,13 +336,23 @@ def wkv7_pallas_batch(state, r, w_raw, k, v, a, b, elapsed, *, lengths=None,
         state_stacked, li = state[None], 0
     else:
         state_stacked, li = state, layer
-    # v to "i-on-sublane" layout (B, T, N, H)
-    v2 = v.reshape(B, T, H, N).transpose(0, 1, 3, 2)
-    y2, new_state = _wkv7_pallas_call(
-        state_stacked, li, r, w_raw, k, a, b, v2, elapsed.astype(jnp.int32),
-        lengths.astype(jnp.int32), use_dither=use_dither, interpret=interpret,
-        precision=precision)
-    y = y2.transpose(0, 1, 3, 2).reshape(B, T, C)
+    if T == 1:
+        # decode fast path: 2-D lane-layout r/w/k/a/b (no T-dim relayout
+        # copies); v/y transposed to/from (B, N, H) on the host as usual
+        v1 = v.reshape(B, H, N).transpose(0, 2, 1)
+        y1, new_state = _wkv7_pallas_call_t1(
+            state_stacked, li, r[:, 0], w_raw[:, 0], k[:, 0], a[:, 0], b[:, 0],
+            v1, elapsed.astype(jnp.int32), lengths.astype(jnp.int32),
+            use_dither=use_dither, interpret=interpret, precision=precision)
+        y = y1.transpose(0, 2, 1).reshape(B, 1, C)
+    else:
+        # v to "i-on-sublane" layout (B, T, N, H)
+        v2 = v.reshape(B, T, H, N).transpose(0, 1, 3, 2)
+        y2, new_state = _wkv7_pallas_call(
+            state_stacked, li, r, w_raw, k, a, b, v2, elapsed.astype(jnp.int32),
+            lengths.astype(jnp.int32), use_dither=use_dither,
+            interpret=interpret, precision=precision)
+        y = y2.transpose(0, 1, 3, 2).reshape(B, T, C)
     if layer is None:
         new_state = new_state[0]
     return y, new_state

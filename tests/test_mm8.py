@@ -310,3 +310,19 @@ def test_mm8_multi_matmul_fallback_matches_unmerged(rng):
         for m in range(n):
             ref = np.asarray(mm8_matmul(x + xx * mu[m], per_layer[li][m]))
             np.testing.assert_array_equal(out[..., m * C:(m + 1) * C], ref)
+
+
+def test_fused_a8_relu2_activation(rng):
+    """activation='relu2' in the fused kernel == XLA relu^2 on the plain output."""
+    from chirrup_tpu.ops.mm8 import quantize
+    from chirrup_tpu.ops.mm8_pallas import mm8_fused_a8
+
+    B, K, M = 8, 256, 256
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    w = quantize(rng.standard_normal((K, M)).astype(np.float32))
+    base = np.asarray(mm8_fused_a8(x, w.mx, w.rx, w.my, w.ry, w.q,
+                                   interpret=True))
+    act = np.asarray(mm8_fused_a8(x, w.mx, w.rx, w.my, w.ry, w.q,
+                                  interpret=True, activation="relu2"))
+    np.testing.assert_allclose(act, np.square(np.maximum(base, 0.0)),
+                               rtol=1e-5, atol=1e-6)
