@@ -145,6 +145,12 @@ def _pack_att_lora(params):
     att["lora2"] = jnp.stack([pad2(att[n]) for n in names2], axis=1)
     for n in names1 + names2:
         del att[n]
+    # GroupNorm params pre-transposed to the WKV kernel's (N, H) i-on-sublane
+    # layout for the fused TMix epilogue (lane splits are impossible in-kernel)
+    L, C = att["ln_x_w"].shape
+    H = C // 64
+    att["ln_x_w_nh"] = att["ln_x_w"].reshape(L, H, 64).swapaxes(1, 2)
+    att["ln_x_b_nh"] = att["ln_x_b"].reshape(L, H, 64).swapaxes(1, 2)
     blocks = dict(params["blocks"])
     blocks["att"] = att
     out = dict(params)
@@ -208,6 +214,20 @@ class ServingModel:
                     s, r, w, k, v, a, b, e, lengths=lengths, layer=layer,
                     use_dither=runtime.use_dither, interpret=interpret_pallas,
                     precision=runtime.wkv_precision)
+
+            if mesh is None:
+                # decode (T=1) runs the TMix-fused kernel: kk/k~ prologue and
+                # GroupNorm+bonus epilogue inside the pallas call (_tmix
+                # dispatches on this attribute)
+                def fused_step(s, r, w, k_raw, a_iclr, v_nh, kk, ka, rk,
+                               lnw, lnb, e, lengths, layer):
+                    return wkv7_pallas.wkv7_pallas_step_fused(
+                        s, layer, r, w, k_raw, a_iclr, v_nh, kk, ka, rk,
+                        lnw, lnb, e, lengths,
+                        use_dither=runtime.use_dither,
+                        interpret=interpret_pallas,
+                        precision=runtime.wkv_precision)
+                raw_wkv.fused_step = fused_step
         else:
             def raw_wkv(s, r, w, k, v, a, b, e, lengths, layer):
                 s_l = jax.lax.dynamic_index_in_dim(s, layer, 0, keepdims=False)

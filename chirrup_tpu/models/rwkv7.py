@@ -152,14 +152,34 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
         g = matmul(jax.nn.sigmoid(matmul(xg, att["g1"])), att["g2"])
         v_gate_pre = matmul(matmul(xv, att["v1"]), att["v2"]) + att["v0"]
 
-    kk = _l2_normalize_heads(k * att["k_k"], H, N)
-    k = k * (1 + (a - 1) * att["k_a"])
-    kka = kk * a
-
     # layer 0 captures v_first; later layers blend toward it (rwkv7.py:636-637)
     v_gate = jax.nn.sigmoid(v_gate_pre)
     v_first_new = jnp.where(layer_is_first, v, v_first)
     v = jnp.where(layer_is_first, v, v + (v_first - v) * v_gate)
+
+    fused_step = getattr(wkv_fn, "fused_step", None)
+    if fused_step is not None and T == 1:
+        # serving decode: kk/k~/GroupNorm/bonus all fused into the WKV kernel
+        # (ops/wkv7_pallas._wkv7_kernel_t1_fused); k and a go in RAW
+        lnw_nh = att.get("ln_x_w_nh")
+        lnb_nh = att.get("ln_x_b_nh")
+        if lnw_nh is None:
+            lnw_nh = att["ln_x_w"].reshape(H, N).swapaxes(0, 1)
+            lnb_nh = att["ln_x_b"].reshape(H, N).swapaxes(0, 1)
+        v_nh = v.reshape(B, H, N).transpose(0, 2, 1)
+        ln = jnp.ones((B,), jnp.int32) if lengths is None else lengths
+        y_nh, wkv_full_new = fused_step(
+            wkv_full, r[:, 0], w_raw[:, 0], k[:, 0], a[:, 0], v_nh,
+            att["k_k"].reshape(C), att["k_a"].reshape(C),
+            att["r_k"].reshape(C), lnw_nh, lnb_nh, elapsed, ln, li)
+        y = y_nh.transpose(0, 2, 1).reshape(B, 1, C).astype(x.dtype)
+        out = matmul(y * g, att["Wo"])
+        new_shift = _masked_last(x, lengths, shift_prev)
+        return out, new_shift, v_first_new, wkv_full_new
+
+    kk = _l2_normalize_heads(k * att["k_k"], H, N)
+    k = k * (1 + (a - 1) * att["k_a"])
+    kka = kk * a
 
     y, wkv_full_new = wkv_fn(wkv_full, r, w_raw, k, v, -kk, kka, elapsed,
                              lengths, li)

@@ -178,6 +178,163 @@ def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
     state_out_ref[0] = jnp.where(active, S_new, S).astype(state_out_ref.dtype)
 
 
+def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
+                          kk_param_ref, ka_param_ref, rk_param_ref, lnw_ref,
+                          lnb_ref, elapsed_ref, length_ref, y_ref,
+                          state_out_ref, *, use_dither, precision):
+    """T=1 decode kernel with the WHOLE TMix core fused in.
+
+    Beyond the recurrence (see _wkv7_kernel), this absorbs the per-head ops
+    that sit immediately before/after it in the reference TMix
+    (Albatross/rwkv7.py:628-649):
+      prologue: kk = l2norm_per_head(k*k_k); k~ = k*(1+(a-1)*k_a); a_wkv = -kk;
+                b_wkv = kk*a  — two extra tiny seg-dots for the norm
+                reduce/broadcast, everything else lane-wise on resident rows;
+      epilogue: per-head GroupNorm(eps=64e-5) on y, plus the
+                ((r*k~*r_k) per-head sum) * v bonus — one extra X-dot row.
+    Inputs: r/w_raw/k_raw/a_iclr (Bt, HN) lane rows; v (Bt, N, H);
+    k_k/k_a/r_k (1, HN); ln_x w/b pre-transposed to (N, H).
+    Output y is post-GroupNorm+bonus (Bt, N, H); the gate multiply and output
+    projection stay outside (they need lane layout)."""
+    _, Bt, N, HN = state_ref.shape
+    H = HN // _N
+    f32 = jnp.float32
+
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 0) // _N
+    head_id = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 1)
+    seg = (lane_head == head_id).astype(f32)
+    segT = seg.T
+
+    active_row = (length_ref[:] > 0)                    # (Bt, 1)
+    active = active_row[:, :, None]                     # (Bt, 1, 1)
+
+    S = state_ref[0].astype(f32)                        # (Bt, N, HN)
+    r_row = r_ref[:].astype(f32)[:, None, :]            # (Bt, 1, HN)
+    w_row = w_ref[:].astype(f32)[:, None, :]
+    k_raw = k_ref[:].astype(f32)                        # (Bt, HN)
+    a_iclr = a_ref[:].astype(f32)                       # (Bt, HN)
+    v_nh = v_ref[:].astype(f32)                         # (Bt, N, H)
+    kk_p = kk_param_ref[:].astype(f32)                  # (1, HN)
+    ka_p = ka_param_ref[:].astype(f32)
+    rk_p = rk_param_ref[:].astype(f32)
+
+    # ---- prologue: kk / k~ / wkv-side a,b (reference rwkv7.py:628-631)
+    kk_pre = k_raw * kk_p                               # (Bt, HN)
+    norm2 = _dot32(kk_pre * kk_pre, seg, precision)     # (Bt, H)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(norm2), 1e-12)
+    inv_lane = _dot32(inv, segT, precision)             # (Bt, HN)
+    kk = kk_pre * inv_lane
+    k_t = k_raw * (1.0 + (a_iclr - 1.0) * ka_p)
+    a_row = (-kk)[:, None, :]                           # (Bt, 1, HN)
+    b_row = (kk * a_iclr)[:, None, :]
+    k_row = k_t[:, None, :]
+
+    d_row = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_row)) - 1.0
+    if use_dither:
+        u = jnp.uint32(2654435769) * elapsed_ref[:].astype(jnp.uint32)
+        dither = (jax.lax.bitcast_convert_type(u, jnp.int32)
+                  .astype(f32) * _DITHER_SCALE)[:, :, None]
+        d_row = d_row + dither
+
+    d1 = 1.0 + d_row
+    d1r = d1 * r_row
+    X = jnp.concatenate([
+        (S * a_row).reshape(Bt * N, HN),
+        (S * d1r).reshape(Bt * N, HN),
+        (r_row * k_row).reshape(Bt, HN),
+        (r_row * b_row).reshape(Bt, HN),
+        (r_row[:, 0] * k_t * rk_p).reshape(Bt, HN)], axis=0)   # bonus row
+    R = _dot32(X, seg, precision)
+    sa_nh = R[:Bt * N].reshape(Bt, N, H)
+    y1 = R[Bt * N:2 * Bt * N].reshape(Bt, N, H)
+    rk = R[2 * Bt * N:2 * Bt * N + Bt].reshape(Bt, 1, H)
+    rb = R[2 * Bt * N + Bt:2 * Bt * N + 2 * Bt].reshape(Bt, 1, H)
+    bonus = R[2 * Bt * N + 2 * Bt:].reshape(Bt, 1, H)
+    BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, H),
+                                 sa_nh.reshape(Bt * N, H)], axis=0),
+                segT, precision)
+    v_exp = BC[:Bt * N].reshape(Bt, N, HN)
+    sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
+    S_new = S * d1 + v_exp * k_row + sa_exp * b_row
+    y = y1 + v_nh * rk + sa_nh * rb                     # (Bt, N, H)
+
+    # ---- epilogue: per-head GroupNorm + bonus*v (reference rwkv7.py:647-648)
+    mu = jnp.mean(y, axis=1, keepdims=True)             # (Bt, 1, H)
+    var = jnp.mean(jnp.square(y - mu), axis=1, keepdims=True)
+    y_gn = (y - mu) * jax.lax.rsqrt(var + 64e-5) \
+        * lnw_ref[:][None] + lnb_ref[:][None]
+    y_out = y_gn + bonus * v_nh
+
+    y_ref[:] = jnp.where(active, y_out, 0.0).astype(y_ref.dtype)
+    state_out_ref[0] = jnp.where(active, S_new, S).astype(state_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
+                                              "precision"))
+def wkv7_pallas_step_fused(state, layer, r, w_raw, k_raw, a_iclr, v_nh,
+                           k_k, k_a, r_k, ln_w_nh, ln_b_nh, elapsed, lengths,
+                           *, use_dither=True, interpret=False,
+                           precision="default"):
+    """Serving decode step with the TMix core fused into the WKV kernel.
+
+    state: STACKED (L, B, N, HN), layer `layer` advanced in place.
+    r/w_raw/k_raw/a_iclr: (B, HN); v_nh: (B, N, H) (post v_first blend,
+    host-transposed); k_k/k_a/r_k: (HN,) per-layer; ln_w_nh/ln_b_nh: (N, H).
+    Returns y (B, N, H) post-GroupNorm+bonus and the updated stacked state."""
+    B, HN = r.shape
+    N = _N
+    H = HN // N
+    Bt = _pick_batch_tile(B, 1, HN)
+
+    def bspec(*tile):
+        return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
+
+    def pspec(*tile):  # per-layer param vectors, whole in every program
+        return pl.BlockSpec(tile, lambda i, li: (0,) * len(tile))
+
+    state_spec = pl.BlockSpec((1, Bt, N, HN), lambda i, li: (li[0], i, 0, 0))
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_wkv7_kernel_t1_fused, use_dither=use_dither,
+                               precision=prec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // Bt,),
+        in_specs=[
+            state_spec,
+            bspec(HN), bspec(HN), bspec(HN), bspec(HN),  # r w k a
+            bspec(N, H),                                 # v
+            pspec(1, HN), pspec(1, HN), pspec(1, HN),    # k_k k_a r_k
+            pspec(N, H), pspec(N, H),                    # ln w/b
+            bspec(1), bspec(1),                          # elapsed, lengths
+        ],
+        out_specs=[bspec(N, H), state_spec],
+    )
+    y, state_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, H), r.dtype),
+            jax.ShapeDtypeStruct(state.shape, state.dtype),
+        ],
+        input_output_aliases={1: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * B * N * HN * H + 4 * B * N * HN,
+            bytes_accessed=2 * B * N * HN * state.dtype.itemsize
+            + 6 * B * HN * r.dtype.itemsize,
+            transcendentals=B * HN,
+        ),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), state, r, w_raw, k_raw,
+      a_iclr, v_nh, k_k.reshape(1, HN), k_a.reshape(1, HN),
+      r_k.reshape(1, HN), ln_w_nh, ln_b_nh, elapsed[:, None],
+      lengths[:, None])
+    return y, state_out
+
+
 @functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
                                               "precision"))
 def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,

@@ -124,3 +124,33 @@ def test_packed_lora_matches_unpacked(params):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(s1.wkv), np.asarray(s2.wkv),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_serving_step_matches_reference(params):
+    """forward_step with the serving fused-TMix wkv_fn (interpret-mode Pallas,
+    dispatched via the fused_step attribute in _tmix) == the default lax.scan
+    reference path."""
+    from chirrup_tpu.ops import wkv7_pallas
+
+    def raw_wkv(s, r, w, k, v, a, b, e, lengths, layer):
+        return wkv7_pallas.wkv7_pallas_batch(
+            s, r, w, k, v, a, b, e, lengths=lengths, layer=layer,
+            interpret=True)
+
+    def fused_step(s, r, w, k_raw, a_iclr, v_nh, kk, ka, rk, lnw, lnb, e,
+                   lengths, layer):
+        return wkv7_pallas.wkv7_pallas_step_fused(
+            s, layer, r, w, k_raw, a_iclr, v_nh, kk, ka, rk, lnw, lnb, e,
+            lengths, interpret=True)
+
+    raw_wkv.fused_step = fused_step
+
+    tokens = jnp.asarray([3, 17, 9], jnp.int32)
+    st = m.init_state(CFG, 3)
+    lg_ref, s_ref = m.forward_step(params, tokens, st)
+    lg_f, s_f = m.forward_step(params, tokens, m.init_state(CFG, 3),
+                               wkv_fn=raw_wkv)
+    np.testing.assert_allclose(np.asarray(lg_f), np.asarray(lg_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s_f.wkv), np.asarray(s_ref.wkv),
+                               rtol=2e-3, atol=2e-3)

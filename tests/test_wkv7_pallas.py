@@ -105,3 +105,47 @@ def test_stacked_layer_update_preserves_other_layers(rng):
             if other != li:
                 np.testing.assert_array_equal(np.asarray(s_new[other]),
                                               np.asarray(stacked[other]))
+
+
+def test_fused_tmix_step_matches_composition(rng):
+    """wkv7_pallas_step_fused (kk/k~ prologue + GroupNorm/bonus epilogue
+    in-kernel) == the unfused composition: l2norm -> reference WKV ->
+    group_norm -> bonus (reference TMix, Albatross/rwkv7.py:628-648)."""
+    import jax
+    from chirrup_tpu.models.rwkv7 import group_norm, _l2_normalize_heads
+    from chirrup_tpu.ops.wkv7 import wkv7_reference_batch
+    from chirrup_tpu.ops.wkv7_pallas import wkv7_pallas_step_fused
+
+    B, L, H, N = 4, 2, 3, 64
+    C = H * N
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    r, w, k_raw, v = f(B, C), f(B, C), f(B, C), f(B, C)
+    a_iclr = jax.nn.sigmoid(f(B, C))
+    k_k, k_a, r_k = f(C) * 0.5, f(C) * 0.5, f(C) * 0.5
+    lnw, lnb = f(C) * 0.3 + 1.0, f(C) * 0.1
+    state = jnp.asarray(rng.standard_normal((L, B, N, C)) * 0.2, jnp.float32)
+    elapsed = jnp.arange(B, dtype=jnp.int32) * 7
+    lengths = jnp.ones((B,), jnp.int32)
+    li = 1
+
+    # unfused composition
+    kk = _l2_normalize_heads(k_raw * k_k, H, N)
+    k_t = k_raw * (1 + (a_iclr - 1) * k_a)
+    y_ref, s_ref = wkv7_reference_batch(
+        state[li], r[:, None], w[:, None], k_t[:, None], v[:, None],
+        (-kk)[:, None], (kk * a_iclr)[:, None], elapsed)
+    y_ref = group_norm(y_ref, H, lnw, lnb, eps=64e-5)
+    bonus = (r * k_t * r_k).reshape(B, H, N).sum(-1)[:, :, None]   # (B, H, 1)
+    y_ref = (y_ref.reshape(B, H, N) + bonus * v.reshape(B, H, N))  # (B, H, N)
+
+    v_nh = v.reshape(B, H, N).transpose(0, 2, 1)
+    lnw_nh = lnw.reshape(H, N).swapaxes(0, 1)
+    lnb_nh = lnb.reshape(H, N).swapaxes(0, 1)
+    y_f, s_f = wkv7_pallas_step_fused(
+        state, li, r, w, k_raw, a_iclr, v_nh, k_k, k_a, r_k, lnw_nh, lnb_nh,
+        elapsed, lengths, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_f.transpose(0, 2, 1)),
+                               np.asarray(y_ref), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_f[li]), np.asarray(s_ref),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(s_f[0]), np.asarray(state[0]))
