@@ -29,13 +29,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 HEAD_SIZE = 64
 
 # exp2-form constants mirrored from the reference kernel (cuda/rwkv7_state_fwd_fp16.cu:21)
 _EXP_NEG_HALF = 0.6065306597126334  # e^{-1/2}
 _DITHER_SCALE = 2.0 ** -41
-_DITHER_MULT = jnp.uint32(2654435769)
+# numpy scalar, NOT jnp: a jnp constant here would initialize the JAX backend at
+# import time (and fail the import outright when the TPU tunnel is down)
+_DITHER_MULT = np.uint32(2654435769)
 
 
 def dither(step_index):
