@@ -49,6 +49,11 @@ def load_samples(args):
 
 
 async def main(args):
+    if os.environ.get("JAX_PLATFORMS"):
+        # some hosts override jax_platforms at import (env alone is ignored);
+        # re-apply so `JAX_PLATFORMS=cpu` runs the harness CPU-only
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from chirrup_tpu.engine.engine import AsyncEngineCore
     from chirrup_tpu.engine.structures import ModelLoadConfig
 
