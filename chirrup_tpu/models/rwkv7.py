@@ -199,8 +199,13 @@ def _cmix(ffn, x, shift_prev, lengths):
     (Albatross/rwkv7.py:674-679)."""
     xx = jnp.concatenate([shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
     kx = x + xx * ffn["x_k"]
-    kk = matmul(kx, ffn["Wk"], activation="relu2")  # relu^2 fused in-kernel
-    out = matmul(kk, ffn["Wv"])
+    if isinstance(ffn["Wk"], (mm8.Mm8Weight, mm8.LayerIndexed)) \
+            and isinstance(ffn["Wv"], (mm8.Mm8Weight, mm8.LayerIndexed)):
+        # whole FFN in one fused kernel where supported (relu² + both GEMMs)
+        out = mm8.mm8_ffn_matmul(kx, ffn["Wk"], ffn["Wv"])
+    else:
+        kk = matmul(kx, ffn["Wk"], activation="relu2")
+        out = matmul(kk, ffn["Wv"])
     new_shift = _masked_last(x, lengths, shift_prev)
     return out, new_shift
 

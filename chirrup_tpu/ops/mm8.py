@@ -260,6 +260,35 @@ class LayerIndexed:
         return self.w.q.shape[1:]
 
 
+def mm8_ffn_matmul(x, wk, wv):
+    """The CMix relu²-FFN pair `relu(x @ Wk)² @ Wv` as ONE fused Pallas kernel
+    when supported (TPU decode shapes): the (B, d_ffn) intermediate stays in
+    VMEM instead of round-tripping HBM between two launches. Falls back to two
+    mm8_matmuls (relu² fused into the first) elsewhere."""
+    if (_resolved_core() == "pallas_a8"
+            and isinstance(wk, LayerIndexed) and isinstance(wv, LayerIndexed)):
+        from chirrup_tpu.ops.mm8_pallas import (
+            mm8_ffn_supported, mm8_fused_a8_ffn_stacked)
+
+        lead = x.shape[:-1]
+        K = x.shape[-1]
+        x2 = x.reshape(-1, K)
+        B = x2.shape[0]
+        L, K2, F = wk.w.q.shape
+        M = wv.w.q.shape[2]
+        if mm8_ffn_supported(B, K, F):
+            pk = lambda v: jax.lax.dynamic_index_in_dim(
+                getattr(wk.w, v), wk.li, 0, keepdims=False)
+            pv = lambda v: jax.lax.dynamic_index_in_dim(
+                getattr(wv.w, v), wv.li, 0, keepdims=False)
+            y = mm8_fused_a8_ffn_stacked(
+                x2, pk("mx"), pk("rx"), pk("my"), pk("ry"), wk.w.q,
+                pv("mx"), pv("rx"), pv("my"), pv("ry"), wv.w.q, wk.li)
+            return y.reshape(lead + (M,))
+    kk = mm8_matmul(x, wk, activation="relu2")
+    return mm8_matmul(kk, wv)
+
+
 def mm8_matmul(x, w, *, core=None, activation=None):
     """Decomposed-dequant matmul. x: (..., K) float; returns (..., M) in x.dtype.
 

@@ -522,6 +522,161 @@ def mm8_fused_a8_multi_stacked(x, xx, mu, mx, rx, my, ry, q_stacked, layer, *,
       mx.reshape(1, Mtot), rx.reshape(1, Mtot), my, ry, q_stacked)
 
 
+def _a8_ffn_kernel(li_ref, x_ref, mxk_ref, rxk_ref, myk_ref, ryk_ref, qk_ref,
+                   mxv_ref, rxv_ref, myv_ref, ryv_ref, qv_ref, o_ref,
+                   x8_ref, k_ref, k8_ref, stats_ref, *, nk_x, nk_f, n1, bm1):
+    """Whole relu²-FFN (CMix) in ONE kernel: y = relu(mm8(x, Wk))² @ mm8 Wv.
+
+    Two-phase 1-D grid: steps [0, n1) stream Wk tiles and write the relu²'d
+    intermediate into VMEM scratch; steps [n1, n1+n2) quantize it once (lazy,
+    at the phase boundary) and stream Wv tiles into the output. The (B, d_ffn)
+    intermediate never touches HBM and the second GEMM starts without a fresh
+    kernel-launch ramp. stats cols: 0-3 = x-side [s, xs_sum, x_sum, xmy_sum],
+    4-7 = the same for the intermediate."""
+    f32 = jnp.float32
+    pid = pl.program_id(0)
+
+    def quant_stats(xf, ry_v, my_v, base):
+        xs_f = xf * (ry_v * 16.0)
+        s = jnp.maximum(jnp.max(jnp.abs(xs_f), axis=1, keepdims=True) / 127.0,
+                        1e-20)
+        stats_ref[:, base + 0:base + 1] = s
+        stats_ref[:, base + 1:base + 2] = jnp.sum(xs_f, axis=1, keepdims=True)
+        stats_ref[:, base + 2:base + 3] = jnp.sum(xf, axis=1, keepdims=True)
+        stats_ref[:, base + 3:base + 4] = jnp.sum(xf * my_v, axis=1,
+                                                  keepdims=True)
+        return jnp.round(xs_f / s).astype(jnp.int8)
+
+    def int8_dot(x8, q, n_k):
+        bk = x8.shape[1] // n_k
+        acc = jnp.dot(x8[:, :bk], q[:bk], preferred_element_type=jnp.int32)
+        for i in range(1, n_k):
+            acc += jnp.dot(x8[:, i * bk:(i + 1) * bk],
+                           q[i * bk:(i + 1) * bk],
+                           preferred_element_type=jnp.int32)
+        return acc
+
+    def dequant(acc, rx_t, mx_t, base):
+        s = stats_ref[:, base + 0:base + 1]
+        xs_sum = stats_ref[:, base + 1:base + 2]
+        x_sum = stats_ref[:, base + 2:base + 3]
+        xmy_sum = stats_ref[:, base + 3:base + 4]
+        return (rx_t * (16.0 / 256.0)) * (acc.astype(f32) * s
+                                          + 128.5 * xs_sum) \
+            + xmy_sum + mx_t * x_sum
+
+    @pl.when(pid == 0)
+    def _prep_x():
+        x8_ref[:] = quant_stats(x_ref[:].astype(f32),
+                                ryk_ref[:].astype(f32),
+                                myk_ref[:].astype(f32), 0)
+
+    @pl.when(pid < n1)
+    def _phase1():
+        acc = int8_dot(x8_ref[:], qk_ref[0], nk_x)
+        y = dequant(acc, rxk_ref[:].astype(f32), mxk_ref[:].astype(f32), 0)
+        kk = jnp.square(jnp.maximum(y, 0.0))
+        k_ref[:, pl.ds(pid * bm1, bm1)] = kk.astype(k_ref.dtype)
+
+    @pl.when(pid == n1)
+    def _prep_k():
+        k8_ref[:] = quant_stats(k_ref[:].astype(f32),
+                                ryv_ref[:].astype(f32),
+                                myv_ref[:].astype(f32), 4)
+
+    @pl.when(pid >= n1)
+    def _phase2():
+        acc = int8_dot(k8_ref[:], qv_ref[0], nk_f)
+        y = dequant(acc, rxv_ref[:].astype(f32), mxv_ref[:].astype(f32), 4)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+_MAX_FFN_SCRATCH = 256 * 16384  # (B, d_ffn) bf16+int8 scratch cap (~10MB)
+
+
+def mm8_ffn_supported(B: int, K: int, F: int) -> bool:
+    return bool(_pick_bm(K, F) and _pick_bm(F, K)
+                and B * K <= _MAX_RESIDENT_X and B * F <= _MAX_FFN_SCRATCH)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mm8_fused_a8_ffn_stacked(x, kmx, krx, kmy, kry, qk_stacked,
+                             vmx, vrx, vmy, vry, qv_stacked, layer, *,
+                             interpret=False):
+    """relu²-FFN pair on layer `layer` of stacked codes, one kernel launch.
+
+    x: (B, K). Wk: qk (L, K, F) + per-layer-sliced scales; Wv: qv (L, F, M).
+    Returns (B, M) in x.dtype. The intermediate relu(mm8(x,Wk))² lives only in
+    VMEM (reference runs these as two kernels with an HBM round-trip between,
+    Albatross/rwkv7.py:674-679)."""
+    B, K = x.shape
+    L, K2, F = qk_stacked.shape
+    L2, F2, M = qv_stacked.shape
+    assert K == K2 and F == F2 and L == L2
+    bm1 = _pick_bm(K, F)
+    bm2 = _pick_bm(F, M)
+    if not mm8_ffn_supported(B, K, F):
+        raise ValueError(f"unsupported ffn shapes B={B} K={K} F={F}")
+    n1 = F // bm1
+    n2 = M // bm2
+    nk_x = _pick_nk(K)
+    nk_f = _pick_nk(F)
+
+    def clamp1(m):
+        return jnp.minimum(m, n1 - 1)
+
+    def clamp2(m):
+        return jnp.clip(m - n1, 0, n2 - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n1 + n2,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda m, li: (0, 0)),           # x
+            pl.BlockSpec((1, bm1), lambda m, li: (0, clamp1(m))),  # k mx
+            pl.BlockSpec((1, bm1), lambda m, li: (0, clamp1(m))),  # k rx
+            pl.BlockSpec((1, K), lambda m, li: (0, 0)),            # k my
+            pl.BlockSpec((1, K), lambda m, li: (0, 0)),            # k ry
+            pl.BlockSpec((1, K, bm1), lambda m, li: (li[0], 0, clamp1(m))),
+            pl.BlockSpec((1, bm2), lambda m, li: (0, clamp2(m))),  # v mx
+            pl.BlockSpec((1, bm2), lambda m, li: (0, clamp2(m))),  # v rx
+            pl.BlockSpec((1, F), lambda m, li: (0, 0)),            # v my
+            pl.BlockSpec((1, F), lambda m, li: (0, 0)),            # v ry
+            pl.BlockSpec((1, F, bm2), lambda m, li: (li[0], 0, clamp2(m))),
+        ],
+        out_specs=pl.BlockSpec((B, bm2), lambda m, li: (0, clamp2(m))),
+        scratch_shapes=[
+            pltpu.VMEM((B, K), jnp.int8),       # x8
+            pltpu.VMEM((B, F), jnp.bfloat16),   # relu² intermediate
+            pltpu.VMEM((B, F), jnp.int8),       # k8
+            pltpu.VMEM((B, 128), jnp.float32),  # stats
+        ],
+    )
+
+    def kernel(li_ref, *refs):
+        _a8_ffn_kernel(li_ref, *refs, nk_x=nk_x, nk_f=nk_f, n1=n1, bm1=bm1)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, M), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * F + 2 * B * F * M,
+            bytes_accessed=K * F + F * M + B * K * x.dtype.itemsize
+            + B * M * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x,
+      kmx.reshape(1, F), krx.reshape(1, F), kmy.reshape(1, K),
+      kry.reshape(1, K), qk_stacked,
+      vmx.reshape(1, M), vrx.reshape(1, M), vmy.reshape(1, F),
+      vry.reshape(1, F), qv_stacked)
+
+
 def mm8_core_supported(B: int, K: int, M: int) -> bool:
     return bool(_pick_bm(K, M) and B * K <= _MAX_RESIDENT_X)
 

@@ -326,3 +326,33 @@ def test_fused_a8_relu2_activation(rng):
                                   interpret=True, activation="relu2"))
     np.testing.assert_allclose(act, np.square(np.maximum(base, 0.0)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_ffn_pair_matches_two_step(rng):
+    """mm8_fused_a8_ffn_stacked (relu²-FFN in one kernel, VMEM intermediate)
+    == relu(mm8(x, Wk))² -> mm8(., Wv) via the per-matmul fused kernels."""
+    from chirrup_tpu.ops.mm8 import quantize
+    from chirrup_tpu.ops.mm8_pallas import (
+        mm8_fused_a8, mm8_fused_a8_ffn_stacked)
+
+    B, K, F, L = 8, 256, 512, 2
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    wks = [quantize(rng.standard_normal((K, F)).astype(np.float32) * 0.1)
+           for _ in range(L)]
+    wvs = [quantize(rng.standard_normal((F, K)).astype(np.float32) * 0.1)
+           for _ in range(L)]
+    qk = jnp.stack([w.q for w in wks])
+    qv = jnp.stack([w.q for w in wvs])
+    for li in range(L):
+        wk, wv = wks[li], wvs[li]
+        out = np.asarray(mm8_fused_a8_ffn_stacked(
+            x, wk.mx, wk.rx, wk.my, wk.ry, qk,
+            wv.mx, wv.rx, wv.my, wv.ry, qv, li, interpret=True))
+        kk = mm8_fused_a8(x, wk.mx, wk.rx, wk.my, wk.ry, wk.q,
+                          interpret=True, activation="relu2")
+        # the fused kernel stores the intermediate bf16 (as the two-kernel
+        # path's bf16 activations would be); round the reference the same way
+        kk = kk.astype(jnp.bfloat16).astype(jnp.float32)
+        ref = np.asarray(mm8_fused_a8(kk, wv.mx, wv.rx, wv.my, wv.ry, wv.q,
+                                      interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
