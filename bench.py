@@ -83,6 +83,32 @@ def build_random_int8_params(cfg, key, dtype):
     }
 
 
+def _wait_for_backend(max_wait_s: float = 600.0) -> None:
+    """The TPU tunnel occasionally wedges (backend init then hangs forever with
+    0% CPU). Probe it in a SUBPROCESS with a hard timeout and retry with
+    backoff, so a transient outage delays the bench instead of hanging it."""
+    import subprocess
+    deadline = time.time() + max_wait_s
+    delay = 15.0
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=90, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("# backend probe failed for "
+                  f"{max_wait_s:.0f}s; proceeding anyway", file=sys.stderr)
+            return
+        print(f"# backend unavailable, retrying in {delay:.0f}s",
+              file=sys.stderr)
+        time.sleep(delay)
+        delay = min(delay * 1.5, 60.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
@@ -95,6 +121,9 @@ def main():
                     choices=["auto", "pallas", "pallas_a8", "xla", "xla_a8"],
                     help="override RuntimeConfig.mm8_core for this run")
     args = ap.parse_args()
+
+    if not args.cpu:
+        _wait_for_backend()
 
     import jax
     import jax.numpy as jnp
