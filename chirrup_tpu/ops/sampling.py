@@ -94,18 +94,22 @@ def sample_logits_rwkv_pip_fast(logits, temperature, top_p, top_k, rng_key,
     temperature_eff = jnp.where(zero_temp, 1.0, temperature)
     top_p_eff = jnp.where(zero_temp, 0.0, top_p)
 
-    probs = jax.nn.softmax(logits, axis=-1)
+    # candidates from LOGITS (monotonic with probs), probabilities computed
+    # only for the k_max kept entries — the full (B, V) softmax materialization
+    # this replaces was a measurable slice of the decode step
+    lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
     if approx:
         # TPU's exact top_k lowers to a full sort; approx_max_k is the hardware
         # path (recall ~0.95 deep in the tail of the kept set — a <1e-3
         # perturbation of the sampled distribution). Greedy rows stay exact via
         # the argmax blend below.
-        top_vals, top_idx = jax.lax.approx_max_k(probs, k_max)
-        order = jnp.argsort(-top_vals, axis=-1)
-        top_vals = jnp.take_along_axis(top_vals, order, axis=-1)
+        top_lg, top_idx = jax.lax.approx_max_k(logits, k_max)
+        order = jnp.argsort(-top_lg, axis=-1)
+        top_lg = jnp.take_along_axis(top_lg, order, axis=-1)
         top_idx = jnp.take_along_axis(top_idx, order, axis=-1)
     else:
-        top_vals, top_idx = jax.lax.top_k(probs, k_max)  # sorted descending
+        top_lg, top_idx = jax.lax.top_k(logits, k_max)  # sorted descending
+    top_vals = jnp.exp(top_lg - lse)
     cum = jnp.cumsum(top_vals, axis=-1)
 
     covered = cum[:, -1:] >= top_p_eff            # cutoff falls inside top-k_max
@@ -131,7 +135,7 @@ def sample_logits_rwkv_pip_fast(logits, temperature, top_p, top_k, rng_key,
         choice = jnp.argmax(logp + gumbel, axis=-1)
         picked = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
         # temp=0 rows: exact argmax (immune to approx top-k recall)
-        greedy = jnp.argmax(probs, axis=-1)
+        greedy = jnp.argmax(logits, axis=-1)
         return jnp.where(zero_temp[:, 0], greedy, picked).astype(jnp.int32)
 
     def exact(_):
