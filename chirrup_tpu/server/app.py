@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import time
 import traceback
 import uuid
@@ -474,6 +475,11 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
 def main(argv=None):
     from chirrup_tpu.server.config import parse_config
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # site customizations override jax_platforms at import, so the env var
+        # alone is ignored; re-apply it so `JAX_PLATFORMS=cpu` serves CPU-only
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     config = parse_config(argv)
     app = create_app(config)
     web.run_app(app, host=config.host, port=config.port)
