@@ -317,6 +317,9 @@ def wkv7_pallas_step_fused(state, layer, r, w_raw, k_raw, a_iclr, v_nh,
             jax.ShapeDtypeStruct((B, N, H), r.dtype),
             jax.ShapeDtypeStruct(state.shape, state.dtype),
         ],
+        # NOTE: aliasing is load-bearing, not just an optimization — the kernel
+        # writes ONLY layer li's slab, so the output buffer must BE the input
+        # buffer for the other layers' bytes to stay valid
         input_output_aliases={1: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
