@@ -202,7 +202,11 @@ class ServingModel:
         if runtime.quantization == "int8" and not already_quantized:
             params = _quantize_params(params)
         if mesh is None:
-            params = _merge_att_rkv(params)
+            if mm8._resolved_core() == "pallas_a8":
+                # only the a8 Pallas core has a fused multi-projection kernel;
+                # other cores would fall to per-layer slices of the merged
+                # codes — a full HBM copy per layer per step
+                params = _merge_att_rkv(params)
             params = _pack_att_lora(params)
         self.params = _cast_params(params, runtime.activation_dtype)
 

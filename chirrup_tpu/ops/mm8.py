@@ -276,7 +276,7 @@ def mm8_ffn_matmul(x, wk, wv):
         B = x2.shape[0]
         L, K2, F = wk.w.q.shape
         M = wv.w.q.shape[2]
-        if mm8_ffn_supported(B, K, F):
+        if mm8_ffn_supported(B, K, F, M):
             pk = lambda v: jax.lax.dynamic_index_in_dim(
                 getattr(wk.w, v), wk.li, 0, keepdims=False)
             pv = lambda v: jax.lax.dynamic_index_in_dim(

@@ -594,8 +594,10 @@ def _a8_ffn_kernel(li_ref, x_ref, mxk_ref, rxk_ref, myk_ref, ryk_ref, qk_ref,
 _MAX_FFN_SCRATCH = 256 * 16384  # (B, d_ffn) bf16+int8 scratch cap (~10MB)
 
 
-def mm8_ffn_supported(B: int, K: int, F: int) -> bool:
-    return bool(_pick_bm(K, F) and _pick_bm(F, K)
+def mm8_ffn_supported(B: int, K: int, F: int, M: int) -> bool:
+    """M is the second GEMM's output dim — checked with the same _pick_bm the
+    kernel uses (M == K for CMix, but the predicate must not assume it)."""
+    return bool(_pick_bm(K, F) and _pick_bm(F, M)
                 and B * K <= _MAX_RESIDENT_X and B * F <= _MAX_FFN_SCRATCH)
 
 
@@ -615,8 +617,8 @@ def mm8_fused_a8_ffn_stacked(x, kmx, krx, kmy, kry, qk_stacked,
     assert K == K2 and F == F2 and L == L2
     bm1 = _pick_bm(K, F)
     bm2 = _pick_bm(F, M)
-    if not mm8_ffn_supported(B, K, F):
-        raise ValueError(f"unsupported ffn shapes B={B} K={K} F={F}")
+    if not mm8_ffn_supported(B, K, F, M):
+        raise ValueError(f"unsupported ffn shapes B={B} K={K} F={F} M={M}")
     n1 = F // bm1
     n2 = M // bm2
     nk_x = _pick_nk(K)

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from chirrup_tpu.ops.wkv7 import HEAD_SIZE, _EXP_NEG_HALF, _DITHER_SCALE
+from chirrup_tpu.ops.wkv7 import (HEAD_SIZE, _DITHER_MULT, _DITHER_SCALE,
+                                   _EXP_NEG_HALF)
 
 _N = HEAD_SIZE
 
@@ -79,7 +80,7 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
 
         d_row = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_row)) - 1.0
         if use_dither:
-            u = (jnp.uint32(2654435769)
+            u = (jnp.uint32(_DITHER_MULT)
                  * (elapsed + t).astype(jnp.uint32))       # (Bt, 1)
             dither = (jax.lax.bitcast_convert_type(u, jnp.int32)
                       .astype(f32) * _DITHER_SCALE)[:, :, None]  # (Bt, 1, 1)
@@ -150,7 +151,7 @@ def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
 
     d_row = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_row)) - 1.0
     if use_dither:
-        u = jnp.uint32(2654435769) * elapsed_ref[:].astype(jnp.uint32)
+        u = jnp.uint32(_DITHER_MULT) * elapsed_ref[:].astype(jnp.uint32)
         dither = (jax.lax.bitcast_convert_type(u, jnp.int32)
                   .astype(f32) * _DITHER_SCALE)[:, :, None]
         d_row = d_row + dither
@@ -231,7 +232,7 @@ def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
 
     d_row = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_row)) - 1.0
     if use_dither:
-        u = jnp.uint32(2654435769) * elapsed_ref[:].astype(jnp.uint32)
+        u = jnp.uint32(_DITHER_MULT) * elapsed_ref[:].astype(jnp.uint32)
         dither = (jax.lax.bitcast_convert_type(u, jnp.int32)
                   .astype(f32) * _DITHER_SCALE)[:, :, None]
         d_row = d_row + dither
@@ -348,7 +349,6 @@ def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,
     B, HN = r.shape
     N = _N
     H = HN // N
-    L = state.shape[0]
     Bt = _pick_batch_tile(B, 1, HN)
 
     def bspec(*tile):
@@ -394,16 +394,17 @@ def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,
 
 
 def _pick_batch_tile(B: int, T: int, HN: int) -> int:
-    """Largest Bt with the program's VMEM footprint ~under 48MB (state f32 tile +
+    """Largest Bt with the program's VMEM footprint ~under 68MB (state f32 tile +
     double-buffered bf16 staging of state/rows), so Mosaic can still double-buffer.
-    Swept at 7.2B decode (B=200): Bt=20 73.0%, Bt=8 71.9% of state-traffic SOL."""
+    Swept at 7.2B decode (B=200): Bt=20 73.0%, Bt=8 71.9% of state-traffic SOL
+    (68MB admits Bt=20 at HN=4096, footprint 65.2MB — compiles and runs)."""
     for bt in (20, 16, 8, 4, 2, 1):
         if B % bt:
             continue
         footprint = (bt * _N * HN * 4                 # S carry f32
                      + 2 * 2 * bt * _N * HN * 2       # state in/out staging x2
                      + 2 * 7 * bt * T * HN * 2)       # r,w,k,a,b,v2,y2 staging x2
-        if footprint <= 48 * 1024 * 1024:
+        if footprint <= 68 * 1024 * 1024:
             return bt
     return 1
 
@@ -422,7 +423,6 @@ def _wkv7_pallas_call(state, layer, r, w_raw, k, a, b, v2, elapsed, lengths, *,
     B, T, HN = r.shape
     N = _N
     H = HN // N
-    L = state.shape[0]
     Bt = _pick_batch_tile(B, T, HN)
 
     def bspec(*tile):
