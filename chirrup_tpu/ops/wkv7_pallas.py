@@ -46,6 +46,68 @@ def _dot32(x, y, precision=jax.lax.Precision.HIGHEST):
     return jnp.dot(x, y, preferred_element_type=jnp.float32, precision=precision)
 
 
+def _seg_matrices(HN, H):
+    """Constant 0/1 per-head segment matrices, built on the fly in-kernel
+    (VPU iota compares): seg (HN, H) reduces j within a head; its transpose
+    broadcasts a per-head value across the head's lanes."""
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 0) // _N
+    head_id = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 1)
+    seg = (lane_head == head_id).astype(jnp.float32)
+    return seg, seg.T
+
+
+def _decay_row(w_row, step_idx, use_dither):
+    """Raw decay logits -> in-kernel multiplier `decay - 1 (+ fp16 dither)`.
+    step_idx: (Bt, 1) int32 total-tokens counter (reference rotator1,
+    cuda/rwkv7_state_fwd_fp16.cu:20-23, 59)."""
+    d = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_row)) - 1.0
+    if use_dither:
+        u = jnp.uint32(_DITHER_MULT) * step_idx.astype(jnp.uint32)
+        d = d + (jax.lax.bitcast_convert_type(u, jnp.int32)
+                 .astype(jnp.float32) * _DITHER_SCALE)[:, :, None]
+    return d
+
+
+def _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT,
+                  precision, extra_rows=()):
+    """One token of the WKV-7 recurrence on a (Bt, N, HN) f32 state tile.
+
+    2-dot algebraic form (exact, ~6% faster than the naive 4-dot form): with
+    d1 = 1 + decay and S_new = S*d1 + v k^T + sa b^T,
+        y_i = sum_j S_new_ij r_j
+            = sum_j S_ij d1_j r_j + v_i <k, r>_head + sa_i <b, r>_head
+    so both per-head reductions (over S*a and S*(d1*r), plus the tiny
+    <k,r>/<b,r> rows and any `extra_rows`) row-stack into ONE MXU dot against
+    `seg`, and both per-head broadcasts (v, sa) into one dot against `segT`.
+
+    Returns (S_new, y_nh, extras): y in (Bt, N, H) i-on-sublane layout, extras
+    the (Bt, 1, H) per-head reductions of each extra (Bt, HN) row."""
+    Bt, N, HN = S.shape
+    d1r = d1 * r_row
+    X = jnp.concatenate([
+        (S * a_row).reshape(Bt * N, HN),
+        (S * d1r).reshape(Bt * N, HN),
+        (r_row * k_row).reshape(Bt, HN),
+        (r_row * b_row).reshape(Bt, HN),
+        *[e.reshape(Bt, HN) for e in extra_rows]], axis=0)
+    R = _dot32(X, seg, precision)
+    sa_nh = R[:Bt * N].reshape(Bt, N, -1)
+    y1 = R[Bt * N:2 * Bt * N].reshape(Bt, N, -1)
+    rk = R[2 * Bt * N:2 * Bt * N + Bt].reshape(Bt, 1, -1)
+    rb = R[2 * Bt * N + Bt:2 * Bt * N + 2 * Bt].reshape(Bt, 1, -1)
+    extras = tuple(
+        R[2 * Bt * N + (2 + i) * Bt:2 * Bt * N + (3 + i) * Bt]
+        .reshape(Bt, 1, -1) for i in range(len(extra_rows)))
+    BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, -1),
+                                 sa_nh.reshape(Bt * N, -1)], axis=0),
+                segT, precision)
+    v_exp = BC[:Bt * N].reshape(Bt, N, HN)
+    sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
+    S_new = S * d1 + v_exp * k_row + sa_exp * b_row
+    y = y1 + v_nh * rk + sa_nh * rb
+    return S_new, y, extras
+
+
 def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
                  elapsed_ref, length_ref, y2_ref, state_out_ref, *, T,
                  use_dither, precision):
@@ -57,12 +119,7 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
     _, Bt, N, HN = state_ref.shape
     H = HN // _N
     f32 = jnp.float32
-
-    # constant per-head segment matrices, built on the fly (VPU iota compares)
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 0) // _N
-    head_id = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 1)
-    seg = (lane_head == head_id).astype(f32)          # (HN, H): reduce j within head
-    segT = seg.T                                      # (H, HN): broadcast per head
+    seg, segT = _seg_matrices(HN, H)
 
     elapsed = elapsed_ref[:]                          # (Bt, 1) int32
     length = length_ref[:]                            # (Bt, 1) int32
@@ -78,41 +135,9 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
         b_row = b_ref[:, pl.ds(t, 1), :].astype(f32)
         v_nh = v2_ref[:, pl.ds(t, 1)][:, 0].astype(f32)    # (Bt, N, H), i-on-sublane
 
-        d_row = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_row)) - 1.0
-        if use_dither:
-            u = (jnp.uint32(_DITHER_MULT)
-                 * (elapsed + t).astype(jnp.uint32))       # (Bt, 1)
-            dither = (jax.lax.bitcast_convert_type(u, jnp.int32)
-                      .astype(f32) * _DITHER_SCALE)[:, :, None]  # (Bt, 1, 1)
-            d_row = d_row + dither
-
-        # y from the PRE-update state (exact algebra, ~6% faster than the
-        # naive 4-dot form): with d1 = 1 + d and S_new = S*d1 + v k^T + sa b^T,
-        #   y_i = sum_j S_new_ij r_j
-        #       = sum_j S_ij d1_j r_j + v_i <k, r>_head + sa_i <b, r>_head
-        # so both per-head reductions (over S*a and S*(d1*r), plus the tiny
-        # <k,r>/<b,r> rows) row-stack into ONE MXU dot against `seg`, and both
-        # per-head broadcasts (v, sa) row-stack into one dot against `segT` —
-        # 2 dot launches per token instead of 4, same flops.
-        d1 = 1.0 + d_row
-        d1r = d1 * r_row
-        X = jnp.concatenate([
-            (S * a_row).reshape(Bt * N, HN),
-            (S * d1r).reshape(Bt * N, HN),
-            (r_row * k_row).reshape(Bt, HN),
-            (r_row * b_row).reshape(Bt, HN)], axis=0)
-        R = _dot32(X, seg, precision)
-        sa_nh = R[:Bt * N].reshape(Bt, N, H)
-        y1 = R[Bt * N:2 * Bt * N].reshape(Bt, N, H)
-        rk = R[2 * Bt * N:2 * Bt * N + Bt].reshape(Bt, 1, H)
-        rb = R[2 * Bt * N + Bt:].reshape(Bt, 1, H)
-        BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, H),
-                                     sa_nh.reshape(Bt * N, H)], axis=0),
-                    segT, precision)
-        v_exp = BC[:Bt * N].reshape(Bt, N, HN)
-        sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
-        S_new = S * d1 + v_exp * k_row + sa_exp * b_row
-        y = y1 + v_nh * rk + sa_nh * rb
+        d1 = 1.0 + _decay_row(w_row, elapsed + t, use_dither)
+        S_new, y, _ = _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh,
+                                    seg, segT, precision)
         y2_ref[:, pl.ds(t, 1)] = jnp.where(
             active, y, 0.0).astype(y2_ref.dtype)[:, None]
         return jnp.where(active, S_new, S)
@@ -132,14 +157,9 @@ def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
     _, Bt, N, HN = state_ref.shape
     H = HN // _N
     f32 = jnp.float32
+    seg, segT = _seg_matrices(HN, H)
 
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 0) // _N
-    head_id = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 1)
-    seg = (lane_head == head_id).astype(f32)
-    segT = seg.T
-
-    active_row = (length_ref[:] > 0)                    # (Bt, 1)
-    active = active_row[:, :, None]                     # (Bt, 1, 1)
+    active = (length_ref[:] > 0)[:, :, None]            # (Bt, 1, 1)
 
     S = state_ref[0].astype(f32)                        # (Bt, N, HN)
     r_row = r_ref[:].astype(f32)[:, None, :]            # (Bt, 1, HN)
@@ -149,32 +169,9 @@ def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
     b_row = b_ref[:].astype(f32)[:, None, :]
     v_nh = v_ref[:].astype(f32)                         # (Bt, N, H)
 
-    d_row = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_row)) - 1.0
-    if use_dither:
-        u = jnp.uint32(_DITHER_MULT) * elapsed_ref[:].astype(jnp.uint32)
-        dither = (jax.lax.bitcast_convert_type(u, jnp.int32)
-                  .astype(f32) * _DITHER_SCALE)[:, :, None]
-        d_row = d_row + dither
-
-    d1 = 1.0 + d_row
-    d1r = d1 * r_row
-    X = jnp.concatenate([
-        (S * a_row).reshape(Bt * N, HN),
-        (S * d1r).reshape(Bt * N, HN),
-        (r_row * k_row).reshape(Bt, HN),
-        (r_row * b_row).reshape(Bt, HN)], axis=0)
-    R = _dot32(X, seg, precision)
-    sa_nh = R[:Bt * N].reshape(Bt, N, H)
-    y1 = R[Bt * N:2 * Bt * N].reshape(Bt, N, H)
-    rk = R[2 * Bt * N:2 * Bt * N + Bt].reshape(Bt, 1, H)
-    rb = R[2 * Bt * N + Bt:].reshape(Bt, 1, H)
-    BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, H),
-                                 sa_nh.reshape(Bt * N, H)], axis=0),
-                segT, precision)
-    v_exp = BC[:Bt * N].reshape(Bt, N, HN)
-    sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
-    S_new = S * d1 + v_exp * k_row + sa_exp * b_row
-    y = y1 + v_nh * rk + sa_nh * rb                     # (Bt, N, H)
+    d1 = 1.0 + _decay_row(w_row, elapsed_ref[:], use_dither)
+    S_new, y, _ = _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh,
+                                seg, segT, precision)
     y_ref[:] = jnp.where(active, y, 0.0).astype(y_ref.dtype)
     state_out_ref[0] = jnp.where(active, S_new, S).astype(state_out_ref.dtype)
 
@@ -200,14 +197,9 @@ def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
     _, Bt, N, HN = state_ref.shape
     H = HN // _N
     f32 = jnp.float32
+    seg, segT = _seg_matrices(HN, H)
 
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 0) // _N
-    head_id = jax.lax.broadcasted_iota(jnp.int32, (HN, H), 1)
-    seg = (lane_head == head_id).astype(f32)
-    segT = seg.T
-
-    active_row = (length_ref[:] > 0)                    # (Bt, 1)
-    active = active_row[:, :, None]                     # (Bt, 1, 1)
+    active = (length_ref[:] > 0)[:, :, None]            # (Bt, 1, 1)
 
     S = state_ref[0].astype(f32)                        # (Bt, N, HN)
     r_row = r_ref[:].astype(f32)[:, None, :]            # (Bt, 1, HN)
@@ -230,34 +222,10 @@ def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
     b_row = (kk * a_iclr)[:, None, :]
     k_row = k_t[:, None, :]
 
-    d_row = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_row)) - 1.0
-    if use_dither:
-        u = jnp.uint32(_DITHER_MULT) * elapsed_ref[:].astype(jnp.uint32)
-        dither = (jax.lax.bitcast_convert_type(u, jnp.int32)
-                  .astype(f32) * _DITHER_SCALE)[:, :, None]
-        d_row = d_row + dither
-
-    d1 = 1.0 + d_row
-    d1r = d1 * r_row
-    X = jnp.concatenate([
-        (S * a_row).reshape(Bt * N, HN),
-        (S * d1r).reshape(Bt * N, HN),
-        (r_row * k_row).reshape(Bt, HN),
-        (r_row * b_row).reshape(Bt, HN),
-        (r_row[:, 0] * k_t * rk_p).reshape(Bt, HN)], axis=0)   # bonus row
-    R = _dot32(X, seg, precision)
-    sa_nh = R[:Bt * N].reshape(Bt, N, H)
-    y1 = R[Bt * N:2 * Bt * N].reshape(Bt, N, H)
-    rk = R[2 * Bt * N:2 * Bt * N + Bt].reshape(Bt, 1, H)
-    rb = R[2 * Bt * N + Bt:2 * Bt * N + 2 * Bt].reshape(Bt, 1, H)
-    bonus = R[2 * Bt * N + 2 * Bt:].reshape(Bt, 1, H)
-    BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, H),
-                                 sa_nh.reshape(Bt * N, H)], axis=0),
-                segT, precision)
-    v_exp = BC[:Bt * N].reshape(Bt, N, HN)
-    sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
-    S_new = S * d1 + v_exp * k_row + sa_exp * b_row
-    y = y1 + v_nh * rk + sa_nh * rb                     # (Bt, N, H)
+    d1 = 1.0 + _decay_row(w_row, elapsed_ref[:], use_dither)
+    S_new, y, (bonus,) = _token_update(
+        S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT, precision,
+        extra_rows=(r_row[:, 0] * k_t * rk_p,))         # bonus row
 
     # ---- epilogue: per-head GroupNorm + bonus*v (reference rwkv7.py:647-648)
     mu = jnp.mean(y, axis=1, keepdims=True)             # (Bt, 1, H)
