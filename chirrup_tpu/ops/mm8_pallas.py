@@ -114,18 +114,46 @@ def mm8_core_pallas(xs, q, *, interpret=False):
     )(xs, q)
 
 
-def _a8_kernel(x_ref, q_ref, o_ref, *, n_k):
-    """int8 x int8 -> int32 on the native MXU int8 mode (v5e: 394 TOP/s, 2x
-    bf16). x (B, K) int8 resident; q tiles stream. Accumulation is exact int32
-    (max |acc| = K*127^2 ~ 2.6e8 at K=16384 < 2^31)."""
-    x = x_ref[:]
-    bk = x.shape[1] // n_k
-    acc = jnp.dot(x[:, :bk], q_ref[:bk], preferred_element_type=jnp.int32)
+def _int8_split_dot(x8, q, n_k):
+    """(B, K) int8 x (K, bm) int8 -> (B, bm) int32 on the native int8 MXU
+    (v5e: 394 TOP/s, 2x bf16), as n_k statically-unrolled K-splits to keep the
+    pipeline primed. Accumulation is exact int32 (max |acc| = K*127^2 ~ 2.6e8
+    at K=16384 < 2^31)."""
+    bk = x8.shape[1] // n_k
+    acc = jnp.dot(x8[:, :bk], q[:bk], preferred_element_type=jnp.int32)
     for i in range(1, n_k):
-        acc += jnp.dot(x[:, i * bk:(i + 1) * bk],
-                       q_ref[i * bk:(i + 1) * bk],
+        acc += jnp.dot(x8[:, i * bk:(i + 1) * bk],
+                       q[i * bk:(i + 1) * bk],
                        preferred_element_type=jnp.int32)
-    o_ref[:] = acc
+    return acc
+
+
+def _quant_rows(xf, ry, my):
+    """Per-row activation quantization + the decomposed-dequant row stats.
+
+    xf: (B, K) f32; ry/my: (1, K) f32 Mm8Weight fields (ry stored /16).
+    Returns (x8 int8, s, xs_sum, x_sum, xmy_sum) — each stat (B, 1) f32."""
+    xs_f = xf * (ry * 16.0)
+    s = jnp.maximum(jnp.max(jnp.abs(xs_f), axis=1, keepdims=True) / 127.0,
+                    1e-20)
+    x8 = jnp.round(xs_f / s).astype(jnp.int8)
+    return (x8, s, jnp.sum(xs_f, axis=1, keepdims=True),
+            jnp.sum(xf, axis=1, keepdims=True),
+            jnp.sum(xf * my, axis=1, keepdims=True))
+
+
+def _dequant_tile(acc, rx_t, mx_t, s, xs_sum, x_sum, xmy_sum):
+    """Rank-1 dequant corrections for one output tile (exact f32):
+    y = rx/256 * (s*acc + 128.5*xs_sum) + xmy_sum + mx*x_sum, with the int8
+    code shift folded into the 128.5 (= 0.5 + 128) constant."""
+    return (rx_t * (16.0 / 256.0)) * (acc.astype(jnp.float32) * s
+                                      + 128.5 * xs_sum) \
+        + xmy_sum + mx_t * x_sum
+
+
+def _a8_kernel(x_ref, q_ref, o_ref, *, n_k):
+    """int8 x int8 -> int32; x (B, K) int8 resident, q tiles stream."""
+    o_ref[:] = _int8_split_dot(x_ref[:], q_ref[:], n_k)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -191,15 +219,7 @@ def mm8_core_pallas_a8_stacked(xs8, q_stacked, layer, *, interpret=False):
     )
 
     def kernel_stacked(li_ref, x_ref, q_ref, o_ref):
-        x = x_ref[:]
-        bk = x.shape[1] // n_k
-        acc = jnp.dot(x[:, :bk], q_ref[0, :bk],
-                      preferred_element_type=jnp.int32)
-        for i in range(1, n_k):
-            acc += jnp.dot(x[:, i * bk:(i + 1) * bk],
-                           q_ref[0, i * bk:(i + 1) * bk],
-                           preferred_element_type=jnp.int32)
-        o_ref[:] = acc
+        o_ref[:] = _int8_split_dot(x_ref[:], q_ref[0], n_k)
 
     return pl.pallas_call(
         kernel_stacked,
@@ -245,32 +265,19 @@ def _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref, o_ref,
 
     @pl.when(pl.program_id(0) == 0)
     def _prep():
-        xf = x_ref[:].astype(f32)                     # (B, K)
-        ryv = ry_ref[:].astype(f32) * 16.0            # (1, K)
-        myv = my_ref[:].astype(f32)                   # (1, K)
-        xs_f = xf * ryv
-        s = jnp.max(jnp.abs(xs_f), axis=1, keepdims=True) / 127.0
-        s = jnp.maximum(s, 1e-20)
-        xs8_ref[:] = jnp.round(xs_f / s).astype(jnp.int8)
+        x8, s, xs_sum, x_sum, xmy_sum = _quant_rows(
+            x_ref[:].astype(f32), ry_ref[:].astype(f32),
+            my_ref[:].astype(f32))
+        xs8_ref[:] = x8
         stats_ref[:, 0:1] = s
-        stats_ref[:, 1:2] = jnp.sum(xs_f, axis=1, keepdims=True)
-        stats_ref[:, 2:3] = jnp.sum(xf, axis=1, keepdims=True)
-        stats_ref[:, 3:4] = jnp.sum(xf * myv, axis=1, keepdims=True)
+        stats_ref[:, 1:2] = xs_sum
+        stats_ref[:, 2:3] = x_sum
+        stats_ref[:, 3:4] = xmy_sum
 
-    x8 = xs8_ref[:]
-    bk = x8.shape[1] // n_k
-    acc = jnp.dot(x8[:, :bk], q_ref[:bk], preferred_element_type=jnp.int32)
-    for i in range(1, n_k):
-        acc += jnp.dot(x8[:, i * bk:(i + 1) * bk],
-                       q_ref[i * bk:(i + 1) * bk],
-                       preferred_element_type=jnp.int32)
-    s = stats_ref[:, 0:1]
-    xs_sum = stats_ref[:, 1:2]
-    x_sum = stats_ref[:, 2:3]
-    xmy_sum = stats_ref[:, 3:4]
-    rxv = rx_ref[:].astype(f32) * (16.0 / 256.0)      # (1, bm)
-    mxv = mx_ref[:].astype(f32)                       # (1, bm)
-    y = rxv * (acc.astype(f32) * s + 128.5 * xs_sum) + xmy_sum + mxv * x_sum
+    acc = _int8_split_dot(xs8_ref[:], q_ref[:], n_k)
+    y = _dequant_tile(acc, rx_ref[:].astype(f32), mx_ref[:].astype(f32),
+                      stats_ref[:, 0:1], stats_ref[:, 1:2],
+                      stats_ref[:, 2:3], stats_ref[:, 3:4])
     y = _apply_activation(y, activation)
     o_ref[:] = y.astype(o_ref.dtype)
 
@@ -411,45 +418,29 @@ def _a8_fused_multi_kernel(x_ref, xx_ref, mu_ref, mx_ref, rx_ref, my_ref,
         int8 dots occupy the MXU (an eager prep-all at step 0 serialized ~3x
         the VPU work in front of the pipeline — measured 54% vs ~75% of HBM
         speed-of-light for the single-projection kernels)."""
-        xf = x_ref[:].astype(f32)
-        xxf = xx_ref[:].astype(f32)
-        xm = xf + xxf * mu_ref[m, :][None, :].astype(f32)
-        ryv = ry_ref[m, :][None, :].astype(f32) * 16.0
-        myv = my_ref[m, :][None, :].astype(f32)
-        xs_f = xm * ryv
-        s = jnp.max(jnp.abs(xs_f), axis=1, keepdims=True) / 127.0
-        s = jnp.maximum(s, 1e-20)
-        xs8_ref[m] = jnp.round(xs_f / s).astype(jnp.int8)
+        xm = x_ref[:].astype(f32) \
+            + xx_ref[:].astype(f32) * mu_ref[m, :][None, :].astype(f32)
+        x8, s, xs_sum, x_sum, xmy_sum = _quant_rows(
+            xm, ry_ref[m, :][None, :].astype(f32),
+            my_ref[m, :][None, :].astype(f32))
+        xs8_ref[m] = x8
         stats_ref[:, 4 * m + 0:4 * m + 1] = s
-        stats_ref[:, 4 * m + 1:4 * m + 2] = jnp.sum(xs_f, axis=1,
-                                                    keepdims=True)
-        stats_ref[:, 4 * m + 2:4 * m + 3] = jnp.sum(xm, axis=1, keepdims=True)
-        stats_ref[:, 4 * m + 3:4 * m + 4] = jnp.sum(xm * myv, axis=1,
-                                                    keepdims=True)
+        stats_ref[:, 4 * m + 1:4 * m + 2] = xs_sum
+        stats_ref[:, 4 * m + 2:4 * m + 3] = x_sum
+        stats_ref[:, 4 * m + 3:4 * m + 4] = xmy_sum
 
     for m in range(n_in):
         @pl.when(pl.program_id(0) == m * tiles_per_in)
         def _prep(m=m):
             _prep_variant(m)
 
-    rxv = rx_ref[:].astype(f32) * (16.0 / 256.0)
-    mxv = mx_ref[:].astype(f32)
-
     def tile_for(m):
-        x8 = xs8_ref[m]
-        q = q_ref[0]
-        bk = x8.shape[1] // n_k
-        acc = jnp.dot(x8[:, :bk], q[:bk], preferred_element_type=jnp.int32)
-        for i in range(1, n_k):
-            acc += jnp.dot(x8[:, i * bk:(i + 1) * bk],
-                           q[i * bk:(i + 1) * bk],
-                           preferred_element_type=jnp.int32)
-        s = stats_ref[:, 4 * m + 0:4 * m + 1]
-        xs_sum = stats_ref[:, 4 * m + 1:4 * m + 2]
-        x_sum = stats_ref[:, 4 * m + 2:4 * m + 3]
-        xmy_sum = stats_ref[:, 4 * m + 3:4 * m + 4]
-        y = rxv * (acc.astype(f32) * s + 128.5 * xs_sum) + xmy_sum \
-            + mxv * x_sum
+        acc = _int8_split_dot(xs8_ref[m], q_ref[0], n_k)
+        y = _dequant_tile(acc, rx_ref[:].astype(f32), mx_ref[:].astype(f32),
+                          stats_ref[:, 4 * m + 0:4 * m + 1],
+                          stats_ref[:, 4 * m + 1:4 * m + 2],
+                          stats_ref[:, 4 * m + 2:4 * m + 3],
+                          stats_ref[:, 4 * m + 3:4 * m + 4])
         o_ref[:] = y.astype(o_ref.dtype)
 
     which = pl.program_id(0) // tiles_per_in
@@ -536,57 +527,43 @@ def _a8_ffn_kernel(li_ref, x_ref, mxk_ref, rxk_ref, myk_ref, ryk_ref, qk_ref,
     f32 = jnp.float32
     pid = pl.program_id(0)
 
-    def quant_stats(xf, ry_v, my_v, base):
-        xs_f = xf * (ry_v * 16.0)
-        s = jnp.maximum(jnp.max(jnp.abs(xs_f), axis=1, keepdims=True) / 127.0,
-                        1e-20)
+    def quant_into(xf, ry_v, my_v, base):
+        x8, s, xs_sum, x_sum, xmy_sum = _quant_rows(xf, ry_v, my_v)
         stats_ref[:, base + 0:base + 1] = s
-        stats_ref[:, base + 1:base + 2] = jnp.sum(xs_f, axis=1, keepdims=True)
-        stats_ref[:, base + 2:base + 3] = jnp.sum(xf, axis=1, keepdims=True)
-        stats_ref[:, base + 3:base + 4] = jnp.sum(xf * my_v, axis=1,
-                                                  keepdims=True)
-        return jnp.round(xs_f / s).astype(jnp.int8)
-
-    def int8_dot(x8, q, n_k):
-        bk = x8.shape[1] // n_k
-        acc = jnp.dot(x8[:, :bk], q[:bk], preferred_element_type=jnp.int32)
-        for i in range(1, n_k):
-            acc += jnp.dot(x8[:, i * bk:(i + 1) * bk],
-                           q[i * bk:(i + 1) * bk],
-                           preferred_element_type=jnp.int32)
-        return acc
+        stats_ref[:, base + 1:base + 2] = xs_sum
+        stats_ref[:, base + 2:base + 3] = x_sum
+        stats_ref[:, base + 3:base + 4] = xmy_sum
+        return x8
 
     def dequant(acc, rx_t, mx_t, base):
-        s = stats_ref[:, base + 0:base + 1]
-        xs_sum = stats_ref[:, base + 1:base + 2]
-        x_sum = stats_ref[:, base + 2:base + 3]
-        xmy_sum = stats_ref[:, base + 3:base + 4]
-        return (rx_t * (16.0 / 256.0)) * (acc.astype(f32) * s
-                                          + 128.5 * xs_sum) \
-            + xmy_sum + mx_t * x_sum
+        return _dequant_tile(acc, rx_t, mx_t,
+                             stats_ref[:, base + 0:base + 1],
+                             stats_ref[:, base + 1:base + 2],
+                             stats_ref[:, base + 2:base + 3],
+                             stats_ref[:, base + 3:base + 4])
 
     @pl.when(pid == 0)
     def _prep_x():
-        x8_ref[:] = quant_stats(x_ref[:].astype(f32),
-                                ryk_ref[:].astype(f32),
-                                myk_ref[:].astype(f32), 0)
+        x8_ref[:] = quant_into(x_ref[:].astype(f32),
+                               ryk_ref[:].astype(f32),
+                               myk_ref[:].astype(f32), 0)
 
     @pl.when(pid < n1)
     def _phase1():
-        acc = int8_dot(x8_ref[:], qk_ref[0], nk_x)
+        acc = _int8_split_dot(x8_ref[:], qk_ref[0], nk_x)
         y = dequant(acc, rxk_ref[:].astype(f32), mxk_ref[:].astype(f32), 0)
         kk = jnp.square(jnp.maximum(y, 0.0))
         k_ref[:, pl.ds(pid * bm1, bm1)] = kk.astype(k_ref.dtype)
 
     @pl.when(pid == n1)
     def _prep_k():
-        k8_ref[:] = quant_stats(k_ref[:].astype(f32),
-                                ryv_ref[:].astype(f32),
-                                myv_ref[:].astype(f32), 4)
+        k8_ref[:] = quant_into(k_ref[:].astype(f32),
+                               ryv_ref[:].astype(f32),
+                               myv_ref[:].astype(f32), 4)
 
     @pl.when(pid >= n1)
     def _phase2():
-        acc = int8_dot(k8_ref[:], qv_ref[0], nk_f)
+        acc = _int8_split_dot(k8_ref[:], qv_ref[0], nk_f)
         y = dequant(acc, rxv_ref[:].astype(f32), mxv_ref[:].astype(f32), 4)
         o_ref[:] = y.astype(o_ref.dtype)
 
