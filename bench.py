@@ -12,13 +12,28 @@ Weights are randomly generated at the serving dtype (int8 codes + scales) direct
 on device — identical compute/memory behavior to a real checkpoint at ~1/4 the
 load time. Prints one JSON line; vs_baseline = aggregate tok/s / 3200.
 
-Usage: python bench.py [--small] [--batch N] [--steps N]
+Driver-robustness design (the round-1 artifact was rc=124/parsed=null):
+  - the TPU-tunnel probe is capped (BENCH_PROBE_S, default 120 s) — a wedged
+    tunnel costs 2 minutes, not the whole window;
+  - a global deadline (BENCH_DEADLINE_S, default 480 s from process start)
+    is checked between phases and measurement blocks; whatever was measured
+    by then is emitted as the JSON line (flagged "partial");
+  - SIGTERM/SIGALRM emit the best-available JSON line before exiting, so even
+    an external `timeout` kill leaves a parsable stdout;
+  - the persistent XLA compile cache lives in-repo (.jax_cache/) and is
+    pre-warmed during development, so the driver run skips the cold compile;
+  - if the tunnel never comes up, a small CPU fallback run is measured and
+    clearly labeled as such (an honest number beats no number).
+
+Usage: python bench.py [--small] [--batch N] [--steps N] [--workers N]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
 import sys
 import time
 
@@ -26,10 +41,56 @@ import numpy as np
 
 
 BASELINE_PER_GPU_TOKS = 3200.0  # 200 req x 16 tok/s/req (reference README.md:17-19)
+_START = time.time()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "480"))
+PROBE_S = float(os.environ.get("BENCH_PROBE_S", "120"))
+
+# best-result-so-far, emitted by the signal handler / partial paths
+_RESULT: dict = {}
+_EMITTED = False
 
 
-def build_random_int8_params(cfg, key, dtype):
-    """Parameter pytree with Mm8Weight big mats, random codes/scales (bench-only)."""
+def _time_left() -> float:
+    return DEADLINE_S - (time.time() - _START)
+
+
+def _emit(final: bool = True) -> None:
+    """Print the one JSON line (exactly once)."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    if not _RESULT:
+        return
+    _EMITTED = True
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _record(metric: str, value: float, unit: str = "tok/s",
+            partial: bool = False) -> None:
+    _RESULT.clear()
+    _RESULT.update({
+        "metric": metric + (" [partial: deadline hit]" if partial else ""),
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(value / BASELINE_PER_GPU_TOKS, 3),
+    })
+
+
+def _sig_handler(signum, frame):
+    print(f"# signal {signum} at t+{time.time() - _START:.0f}s — emitting "
+          "best-available result", file=sys.stderr)
+    if _RESULT and not _RESULT["metric"].endswith("]"):
+        _RESULT["metric"] += " [partial: killed mid-run]"
+    _emit()
+    os._exit(0)
+
+
+def build_random_int8_params(cfg, key, dtype, use_numpy=False):
+    """Parameter pytree with Mm8Weight big mats, random codes/scales (bench-only).
+
+    use_numpy generates on host (fast on CPU backends where jax's threefry is
+    ~20x slower than numpy); default generates on-device (fast on TPU and avoids
+    pushing ~7 GB through the tunnel)."""
     import jax
     import jax.numpy as jnp
     from chirrup_tpu.ops.mm8 import Mm8Weight
@@ -38,16 +99,25 @@ def build_random_int8_params(cfg, key, dtype):
     Dw, Da, Dv, Dg = (cfg.d_decay_lora, cfg.d_iclr_lora, cfg.d_v_lora,
                       cfg.d_gate_lora)
     ks = iter(jax.random.split(key, 64))
+    np_rng = np.random.default_rng(np.uint32(jax.random.bits(key)))
 
     def dense(*shape, scale=0.02):
+        if use_numpy:
+            return jnp.asarray(
+                np_rng.standard_normal(shape, np.float32) * scale, dtype)
         return (jax.random.normal(next(ks), shape, jnp.float32) * scale).astype(dtype)
 
     def q8(*shape, rx_full=0.04, ry_full=0.002):
         K = shape[-2]
         M = shape[-1]
         lead = shape[:-2]
+        if use_numpy:
+            codes = jnp.asarray(
+                np_rng.integers(-128, 128, shape, np.int8, endpoint=False))
+        else:
+            codes = jax.random.randint(next(ks), shape, -128, 128, jnp.int8)
         return Mm8Weight(
-            q=jax.random.randint(next(ks), shape, -128, 128, jnp.int8),
+            q=codes,
             mx=jnp.zeros(lead + (M,), jnp.float32),
             rx=jnp.full(lead + (M,), rx_full / 16, jnp.float32),
             my=jnp.zeros(lead + (K,), jnp.float32),
@@ -83,83 +153,60 @@ def build_random_int8_params(cfg, key, dtype):
     }
 
 
-def _wait_for_backend(max_wait_s: float = 600.0) -> None:
+def _wait_for_backend(max_wait_s: float) -> bool:
     """The TPU tunnel occasionally wedges (backend init then hangs forever with
     0% CPU). Probe it in a SUBPROCESS with a hard timeout and retry with
-    backoff, so a transient outage delays the bench instead of hanging it."""
+    backoff. Returns False if the backend never answered within max_wait_s."""
     import subprocess
     deadline = time.time() + max_wait_s
-    delay = 15.0
+    delay = 10.0
     while True:
+        budget = deadline - time.time()
+        if budget <= 0:
+            print(f"# backend probe failed for {max_wait_s:.0f}s",
+                  file=sys.stderr)
+            return False
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=90, capture_output=True)
+                timeout=min(75, max(10, budget)), capture_output=True)
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
-        if time.time() > deadline:
-            print("# backend probe failed for "
-                  f"{max_wait_s:.0f}s; proceeding anyway", file=sys.stderr)
-            return
+        if time.time() + delay > deadline:
+            print(f"# backend probe failed for {max_wait_s:.0f}s",
+                  file=sys.stderr)
+            return False
         print(f"# backend unavailable, retrying in {delay:.0f}s",
               file=sys.stderr)
         time.sleep(delay)
-        delay = min(delay * 1.5, 60.0)
+        delay = min(delay * 1.5, 45.0)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--small", action="store_true",
-                    help="1.5B-ish config for quick checks")
-    ap.add_argument("--batch", type=int, default=0)
-    ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--block", type=int, default=8)
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--mm8-core", default=None,
-                    choices=["auto", "pallas", "pallas_a8", "xla", "xla_a8"],
-                    help="override RuntimeConfig.mm8_core for this run")
-    args = ap.parse_args()
+def _build_model(args, cfg, batch, runtime_kwargs, device=None):
+    import jax
+    import jax.numpy as jnp
+    from chirrup_tpu.models.config import RuntimeConfig
+    from chirrup_tpu.engine.serving import ServingModel
 
-    if not args.cpu:
-        _wait_for_backend()
+    seed = runtime_kwargs.pop("seed", 0)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    params = build_random_int8_params(cfg, jax.random.key(seed), jnp.bfloat16,
+                                      use_numpy=on_cpu)
+    if device is not None:
+        params = jax.device_put(params, device)
+    jax.block_until_ready(params["emb"])
+    runtime = RuntimeConfig(**runtime_kwargs)
+    return ServingModel(cfg, params, runtime, batch_size=batch)
 
+
+def _run_worker_loop(model, batch, K, steps, deadline_check=True):
+    """Measure pipelined decode blocks (the worker's dispatch pattern).
+    Returns (n_tokens, seconds) measured, or (0, 0) if nothing completed."""
     import jax
     import jax.numpy as jnp
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from chirrup_tpu.models.config import RWKV7Config, RuntimeConfig
-    from chirrup_tpu.engine.serving import ServingModel
-
-    if args.small:
-        cfg = RWKV7Config(n_layer=24, n_embd=2048)  # g1 1.5B dims
-        batch = args.batch or 64
-    else:
-        cfg = RWKV7Config(n_layer=32, n_embd=4096)  # g1 7.2B dims
-        batch = args.batch or 200
-
-    dev = jax.devices()[0]
-    on_tpu = dev.platform in ("tpu", "axon") or "TPU" in str(dev)
-    print(f"# device={dev} model L{cfg.n_layer} C{cfg.n_embd} batch={batch}",
-          file=sys.stderr)
-
-    t0 = time.time()
-    params = build_random_int8_params(cfg, jax.random.key(0), jnp.bfloat16)
-    jax.block_until_ready(params["emb"])
-    print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr)
-
-    runtime = RuntimeConfig(activation_dtype=jnp.bfloat16,
-                            wkv_state_dtype=jnp.bfloat16,
-                            quantization=None,  # already int8
-                            use_pallas_wkv=on_tpu,  # scan path off-TPU
-                            **({"mm8_core": args.mm8_core}
-                               if args.mm8_core else {}))
-    model = ServingModel(cfg, params, runtime, batch_size=batch)
     carry = model.init_carry()
 
     class _T:
@@ -170,7 +217,6 @@ def main():
     for slot in range(min(2, batch)):  # spot-configure a couple; rest default
         carry = model.insert_slot(carry, slot, None, _T())
 
-    K = args.block
     tokens = np.random.default_rng(0).integers(1, 60000, (K, batch)).astype(np.int32)
     ones = np.ones((K, batch), bool)
     feedback = ones.copy()
@@ -181,7 +227,8 @@ def main():
                                         jnp.asarray(feedback), jnp.asarray(ones),
                                         jnp.asarray(ones))
     jax.block_until_ready(sampled)
-    print(f"# first block (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# first block (compile) {time.time() - t0:.1f}s "
+          f"(t+{time.time() - _START:.0f}s)", file=sys.stderr)
 
     fb_all = jnp.asarray(np.ones((K, batch), bool))
     ones_j = jnp.asarray(ones)
@@ -192,33 +239,153 @@ def main():
         carry, sampled = model.decode_block(carry, tokens, fb_all, ones_j, ones_j)
     jax.block_until_ready(sampled)
 
-    nblocks = max(args.steps // K, 3)
+    nblocks = max(steps // K, 3)
+    done = 0
     t0 = time.time()
-    for _ in range(nblocks):
+    for i in range(nblocks):
         carry, sampled = model.decode_block(carry, tokens, fb_all, ones_j, ones_j)
         if prev is not None:
             _ = np.asarray(jax.device_get(prev))
         prev = sampled
+        done = i + 1
+        if deadline_check and _time_left() < 20 and done >= 2:
+            print(f"# deadline approaching — stopping after {done}/{nblocks} "
+                  "blocks", file=sys.stderr)
+            break
     _ = np.asarray(jax.device_get(prev))
-    dt = time.time() - t0
+    return done * K, time.time() - t0, done < nblocks
 
-    n_tok = nblocks * K
-    step_ms = dt / n_tok * 1000
-    agg = batch * n_tok / dt
-    per_req = n_tok / dt
-    print(f"# step {step_ms:.2f} ms | {agg:.0f} tok/s aggregate | "
-          f"{per_req:.1f} tok/s/request", file=sys.stderr)
 
-    size = "7.2B" if not args.small else "1.5B"
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="1.5B-ish config for quick checks")
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--block", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="simulate N data-parallel workers (N models round-robin "
+                         "over the available devices; aggregate = sum)")
+    ap.add_argument("--mm8-core", default=None,
+                    choices=["auto", "pallas", "pallas_a8", "xla", "xla_a8"],
+                    help="override RuntimeConfig.mm8_core for this run")
+    args = ap.parse_args()
+
+    signal.signal(signal.SIGTERM, _sig_handler)
+    signal.signal(signal.SIGALRM, _sig_handler)
+    signal.alarm(max(int(DEADLINE_S + 25), 30))  # belt-and-braces self-kill
+
+    backend_ok = True
+    if not args.cpu:
+        backend_ok = _wait_for_backend(min(PROBE_S, max(_time_left() - 180, 30)))
+        if not backend_ok:
+            print("# falling back to CPU measurement (TPU tunnel unavailable)",
+                  file=sys.stderr)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu or not backend_ok:
+        jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.environ.get("BENCH_CACHE_DIR",
+                               os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from chirrup_tpu.models.config import RWKV7Config
+
+    cpu_fallback = not args.cpu and not backend_ok
+    if cpu_fallback:
+        # honest-but-small CPU number, clearly labeled; beats parsed=null
+        cfg = RWKV7Config(n_layer=4, n_embd=512)
+        batch, args.steps = 8, 8
+        size = "tiny(CPU-fallback L4 C512)"
+    elif args.small:
+        cfg = RWKV7Config(n_layer=24, n_embd=2048)  # g1 1.5B dims
+        batch = args.batch or 64
+        size = "1.5B"
+    else:
+        cfg = RWKV7Config(n_layer=32, n_embd=4096)  # g1 7.2B dims
+        batch = args.batch or 200
+        size = "7.2B"
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform in ("tpu", "axon") or "TPU" in str(dev)
+    print(f"# device={dev} model L{cfg.n_layer} C{cfg.n_embd} batch={batch} "
+          f"workers={args.workers} (t+{time.time() - _START:.0f}s)",
+          file=sys.stderr)
+
+    runtime_kwargs = dict(
+        activation_dtype=jnp.bfloat16,
+        wkv_state_dtype=jnp.bfloat16,
+        quantization=None,  # already int8
+        use_pallas_wkv=on_tpu,  # scan path off-TPU
+        **({"mm8_core": args.mm8_core} if args.mm8_core else {}))
+
+    K = args.block
     wkv_path = "pallas WKV" if on_tpu else "lax.scan WKV"
-    print(json.dumps({
-        "metric": f"decode tokens/s/chip, RWKV-7 {size} INT8 ({wkv_path} + mm8 + "
-                  f"sampling + penalties), batch {batch}, {K}-step blocks, "
-                  f"pipelined host sync",
-        "value": round(agg, 1),
-        "unit": "tok/s",
-        "vs_baseline": round(agg / BASELINE_PER_GPU_TOKS, 3),
-    }))
+
+    if args.workers <= 1:
+        t0 = time.time()
+        model = _build_model(args, cfg, batch, dict(runtime_kwargs))
+        print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr)
+        n_tok, dt, partial = _run_worker_loop(model, batch, K, args.steps)
+        agg = batch * n_tok / dt
+        print(f"# step {dt / n_tok * 1000:.2f} ms | {agg:.0f} tok/s aggregate | "
+              f"{n_tok / dt:.1f} tok/s/request", file=sys.stderr)
+        _record(
+            f"decode tokens/s/chip, RWKV-7 {size} INT8 ({wkv_path} + mm8 + "
+            f"sampling + penalties), batch {batch}, {K}-step blocks, "
+            f"pipelined host sync",
+            agg, partial=partial)
+    else:
+        # DP simulation: N independent worker models round-robin over devices
+        # (the host configuration of the reference headline: 4 workers x B=200).
+        # With one real chip they time-share it; with N chips each gets its own.
+        devices = jax.devices()
+        models = []
+        for w in range(args.workers):
+            d = devices[w % len(devices)]
+            models.append(_build_model(args, cfg, batch,
+                                       dict(runtime_kwargs, seed=w), device=d))
+        print(f"# {args.workers} worker models on {len(devices)} device(s)",
+              file=sys.stderr)
+        # interleave blocks across workers: dispatch all, then sync all — the
+        # router's steady state where every worker always has work queued
+        carries = [m.init_carry() for m in models]
+        tokens = np.random.default_rng(0).integers(
+            1, 60000, (K, batch)).astype(np.int32)
+        fb = jnp.asarray(np.ones((K, batch), bool))
+        ones_j = jnp.asarray(np.ones((K, batch), bool))
+        for i, m in enumerate(models):  # compile (cache-shared across workers)
+            carries[i], s = m.decode_block(carries[i], tokens, fb, ones_j, ones_j)
+        jax.block_until_ready(s)
+        nblocks = max(args.steps // K, 3)
+        done = 0
+        t0 = time.time()
+        for b in range(nblocks):
+            sampled = []
+            for i, m in enumerate(models):
+                carries[i], s = m.decode_block(carries[i], tokens, fb, ones_j,
+                                               ones_j)
+                sampled.append(s)
+            jax.block_until_ready(sampled)
+            done = b + 1
+            if _time_left() < 20 and done >= 2:
+                break
+        dt = time.time() - t0
+        n_tok = done * K
+        agg = args.workers * batch * n_tok / dt
+        print(f"# {agg:.0f} tok/s aggregate across {args.workers} workers",
+              file=sys.stderr)
+        _record(
+            f"decode tokens/s/host, RWKV-7 {size} INT8, {args.workers} "
+            f"DP workers x batch {batch} on {len(devices)} device(s) "
+            f"({wkv_path} + mm8 + sampling + penalties), {K}-step blocks",
+            agg, partial=done < nblocks)
+
+    _emit()
 
 
 if __name__ == "__main__":
