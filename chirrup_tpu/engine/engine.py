@@ -48,11 +48,18 @@ class ThreadSafeAsyncQueue:
 
 
 def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
-                        device=None, seed: int = 0):
+                        device=None, mesh_devices=None, seed: int = 0):
     """Returns a callable the worker thread invokes to construct its ServingModel.
 
     Loads a real checkpoint (model_path endswith .pth) or builds a synthetic model
     (model_config.synthetic_config) for tests/benchmarks.
+
+    device pins a single-device worker replica (the reference pins gpu_id per
+    worker, chirrup/worker.py:252-257); when model_config.tensor_parallel > 1
+    the factory instead builds a tp mesh over mesh_devices (default: the first
+    tp local devices) and the model is GSPMD-sharded over it — the TPU
+    equivalent of the reference's per-device worker creation
+    (chirrup/engine_core.py:135-153).
     """
     import jax
     import jax.numpy as jnp
@@ -82,7 +89,13 @@ def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
             else:
                 cfg, params = loader.load_model(model_config.model_path,
                                                 vocab_size=model_config.vocab_size)
-        if device is not None:
+        mesh = None
+        tp = getattr(model_config, "tensor_parallel", 1) or 1
+        if tp > 1:
+            from chirrup_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(tp=tp, devices=mesh_devices)
+        elif device is not None:
             params = jax.device_put(params, device)
         # off TPU, the lax.scan WKV is far faster than interpret-mode pallas
         on_tpu = any(d.platform in ("tpu", "axon") or "TPU" in str(d)
@@ -91,7 +104,7 @@ def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
             runtime = dataclasses.replace(runtime, use_pallas_wkv=False)
         model = ServingModel(cfg, params, runtime, batch_size,
                              prefill_chunk=model_config.prefill_chunk,
-                             seed=seed)
+                             mesh=mesh, seed=seed)
         tokenizer = WorldTokenizer(model_config.vocab_path)
         return model, tokenizer
 
@@ -132,11 +145,36 @@ class AsyncEngineCore:
         self.is_initialized = True
         self.tokenizer = WorldTokenizer(model_config.vocab_path)
 
+        # device placement (reference pins gpu_id=[k] per worker,
+        # chirrup/engine_core.py:135-153 + worker.py:252-257): DP workers get
+        # one device each round-robin; TP workers get disjoint tp-sized device
+        # groups when enough chips exist (else they overlap, which still
+        # compiles/runs — the single-chip dev case)
+        tp = getattr(model_config, "tensor_parallel", 1) or 1
+        devices = None
+        if model_factory is None and (worker_num > 1 or tp > 1):
+            import jax
+
+            devices = jax.devices()
+
         for k in range(worker_num):
             master_q: queue.Queue = queue.Queue()
             self.event_queues.append(master_q)
-            factory = model_factory or build_model_factory(model_config, batch_size,
-                                                           seed=k)
+            if model_factory is not None:
+                factory = model_factory
+            else:
+                device = mesh_devices = None
+                if devices is not None:
+                    if tp > 1:
+                        if len(devices) >= worker_num * tp:
+                            mesh_devices = devices[k * tp:(k + 1) * tp]
+                        else:
+                            mesh_devices = devices[:tp]
+                    else:
+                        device = devices[k % len(devices)]
+                factory = build_model_factory(model_config, batch_size,
+                                              device=device,
+                                              mesh_devices=mesh_devices, seed=k)
             worker = Worker(
                 worker_id=f"worker_{k}",
                 model_factory=factory,

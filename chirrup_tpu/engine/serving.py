@@ -36,9 +36,6 @@ from chirrup_tpu.ops.sampling import (
     sample_logits_rwkv_pip_fast, record_sampled_token)
 from chirrup_tpu.engine.structures import NO_PENALTY_TOKEN_IDS, RequestState
 
-MAX_FORBIDDEN_TOKENS = 8
-
-
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BatchCarry:
@@ -61,12 +58,17 @@ class BatchCarry:
     rng: Any                # jax PRNG key
 
 
-def _forbidden_bias_row(forbidden_ids, V):
-    """(MAX_FORBIDDEN_TOKENS,) int32 (-1 padded) -> (V,) f32 with 1e10 at the
-    forbidden ids (runs once per slot insert, not per step)."""
-    iota = jnp.arange(V, dtype=jnp.int32)
-    hit = (iota[None, :] == forbidden_ids[:, None]).any(0)
-    return jnp.where(hit, 1e10, 0.0).astype(jnp.float32)
+def forbidden_bias_row(forbidden_ids, V) -> np.ndarray:
+    """Arbitrary-size forbidden set -> (V,) f32 host bias with 1e10 at the
+    forbidden ids (built once per slot insert, not per step; no size cap —
+    the reference accepts arbitrary sets, chirrup/worker.py:719-722)."""
+    bias = np.zeros((V,), np.float32)
+    ids = np.asarray(list(forbidden_ids), np.int64)
+    if ids.size:
+        if (ids < 0).any() or (ids >= V).any():
+            raise ValueError(f"forbidden token id out of range [0, {V})")
+        bias[ids] = 1e10
+    return bias
 
 
 def _quantize_params(params):
@@ -417,10 +419,10 @@ class ServingModel:
 
     def _insert_slot_impl(self, carry: BatchCarry, slot, shift, wkv, elapsed,
                           temperature, top_p, top_k, frequency_penalty,
-                          presence_penalty, penalty_decay, forbidden):
+                          presence_penalty, penalty_decay, forbidden_bias):
         """Load one request into a slot (reference _fill_task_pool,
         worker.py:570-669). shift: (L,2,C); wkv: (L,N,HN); scalars per sampling
-        param; forbidden: (MAX_FORBIDDEN_TOKENS,) int32."""
+        param; forbidden_bias: (V,) f32 (host-built, 1e10 at forbidden ids)."""
         st = carry.state
         new_shift = jax.lax.dynamic_update_slice(
             st.shift, shift[:, :, None, :].astype(st.shift.dtype), (0, 0, slot, 0))
@@ -441,8 +443,7 @@ class ServingModel:
             # presence penalties then accumulate on top during decode
             presence_vec=jnp.where(
                 onehot[:, None],
-                _forbidden_bias_row(forbidden,
-                                    carry.presence_vec.shape[1])[None, :],
+                forbidden_bias.astype(jnp.float32)[None, :],
                 carry.presence_vec),
             temperature=set_row(carry.temperature, temperature),
             top_p=set_row(carry.top_p, top_p),
@@ -463,7 +464,7 @@ class ServingModel:
             carry, slot, zero_shift, zero_wkv, jnp.int32(0),
             jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0), jnp.float32(0.0),
             jnp.float32(0.0), jnp.float32(1.0),
-            jnp.full((MAX_FORBIDDEN_TOKENS,), -1, jnp.int32))
+            jnp.zeros((cfg.vocab_size,), jnp.float32))
 
     def _extract_slot_impl(self, carry: BatchCarry, slot):
         st = carry.state
@@ -506,9 +507,7 @@ class ServingModel:
         else:
             shift, wkv, elapsed = (request_state.shift, request_state.wkv,
                                    request_state.elapsed)
-        forb = np.full((MAX_FORBIDDEN_TOKENS,), -1, np.int32)
-        ft = list(task.forbidden_tokens)[:MAX_FORBIDDEN_TOKENS]
-        forb[:len(ft)] = ft
+        forb = forbidden_bias_row(task.forbidden_tokens, cfg.vocab_size)
         # reference maps temperature<=0 to 1.0 at slot load (worker.py:612) and the
         # sampler's zero-temp greedy handles the rest; we keep the raw value since
         # the sampler implements the zero-temp contract itself

@@ -143,5 +143,8 @@ class ModelLoadConfig:
     activation_dtype: str = "bfloat16"
     use_pallas_wkv: bool = True
     prefill_chunk: int = 64
+    # tensor parallelism: >1 shards the model (head-parallel WKV, Megatron
+    # col/row mm8) over a tp-axis mesh built inside the worker's model factory
+    tensor_parallel: int = 1
     # test hook: synthetic model instead of a checkpoint file
     synthetic_config: Optional[Dict[str, int]] = None

@@ -69,19 +69,23 @@ def sample_logits_rwkv_pip_compatible(logits, temperature, top_p, top_k, rng_key
     return jnp.argmax(logp + gumbel, axis=-1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k_max", "approx"))
+@functools.partial(jax.jit, static_argnames=("k_max", "approx", "fallback_rows"))
 def sample_logits_rwkv_pip_fast(logits, temperature, top_p, top_k, rng_key,
                                 row_mask=None, k_max: int = 1024,
-                                approx: bool = False):
+                                approx: bool = False, fallback_rows: int = 8):
     """Fast path: identical distribution to sample_logits_rwkv_pip_compatible, but
     operating on the top-k_max probabilities instead of a full 65536-wide sort
     (a ~10x step-time win — the full sort dominated the serving step).
 
     Exactness: the top-p cutoff position is inside the top-k_max set whenever the
-    top-k_max cumulative mass reaches top_p, and the top-k filter is a rank mask. If
-    either assumption fails for ANY row (top_p ~ 1.0 on a flat distribution, or
-    top_k > k_max), the whole batch falls back to the exact full-sort sampler via
-    lax.cond — correctness never depends on the heuristic.
+    top-k_max cumulative mass reaches top_p, and the top-k filter is a rank mask.
+    Rows where either assumption fails (top_p ~ 1.0 on a flat distribution, or
+    top_k > k_max) are exact-resampled PER ROW: up to `fallback_rows` flagged rows
+    are gathered into a fixed (R, V) buffer and run through the exact full-sort
+    sampler — one adversarial request (e.g. top_p=1.0, high temp) costs an R-row
+    sort, not a B-row one, so it cannot degrade every other request's step. Only
+    if more than `fallback_rows` rows flag at once does the whole batch fall back
+    to the exact sampler (lax.cond) — correctness never depends on the heuristic.
     """
     B, V = logits.shape
     k_max = min(k_max, V)
@@ -119,30 +123,46 @@ def sample_logits_rwkv_pip_fast(logits, temperature, top_p, top_k, rng_key,
         # rows not actually being sampled (masked slots with garbage logits/params)
         # must not force the exact path
         need = need & row_mask.reshape(B, 1)
-    need_exact = jnp.any(need)
+    need_row = need[:, 0]                          # (B,) bool
+    n_need = jnp.sum(need_row.astype(jnp.int32))
+    R = min(fallback_rows, B)
 
-    def fast(_):
-        cutoff_pos = jnp.sum((cum < top_p_eff).astype(jnp.int32), axis=-1,
-                             keepdims=True)
-        cutoff_pos = jnp.clip(cutoff_pos, 0, k_max - 1)
-        cutoff_val = jnp.take_along_axis(top_vals, cutoff_pos, axis=-1)
-        vals = jnp.where(top_vals < cutoff_val, 0.0, top_vals)
-        ranks = jax.lax.broadcasted_iota(jnp.int32, (B, k_max), 1)
-        eff_k = jnp.where(top_k > 0, top_k, k_max)
-        vals = jnp.where(ranks >= eff_k, 0.0, vals)
-        logp = jnp.where(vals > 0, jnp.log(vals) / temperature_eff, -jnp.inf)
-        gumbel = jax.random.gumbel(rng_key, (B, k_max), jnp.float32)
-        choice = jnp.argmax(logp + gumbel, axis=-1)
-        picked = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
-        # temp=0 rows: exact argmax (immune to approx top-k recall)
-        greedy = jnp.argmax(logits, axis=-1)
-        return jnp.where(zero_temp[:, 0], greedy, picked).astype(jnp.int32)
+    # fast-path sample for every row (flagged rows get overwritten below)
+    cutoff_pos = jnp.sum((cum < top_p_eff).astype(jnp.int32), axis=-1,
+                         keepdims=True)
+    cutoff_pos = jnp.clip(cutoff_pos, 0, k_max - 1)
+    cutoff_val = jnp.take_along_axis(top_vals, cutoff_pos, axis=-1)
+    vals = jnp.where(top_vals < cutoff_val, 0.0, top_vals)
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (B, k_max), 1)
+    eff_k = jnp.where(top_k > 0, top_k, k_max)
+    vals = jnp.where(ranks >= eff_k, 0.0, vals)
+    logp = jnp.where(vals > 0, jnp.log(vals) / temperature_eff, -jnp.inf)
+    gumbel = jax.random.gumbel(rng_key, (B, k_max), jnp.float32)
+    choice = jnp.argmax(logp + gumbel, axis=-1)
+    picked = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
+    # temp=0 rows: exact argmax (immune to approx top-k recall)
+    greedy = jnp.argmax(logits, axis=-1)
+    fast_tokens = jnp.where(zero_temp[:, 0], greedy, picked).astype(jnp.int32)
 
-    def exact(_):
-        return sample_logits_rwkv_pip_compatible(logits, temperature[:, 0],
-                                                 top_p[:, 0], top_k[:, 0], rng_key)
+    def fix_rows(_):
+        # gather the flagged rows (stable: row order preserved) into an (R, V)
+        # buffer and run the exact sampler on just those
+        rows_idx = jnp.argsort(~need_row, stable=True)[:R]
+        sub_key = jax.random.fold_in(rng_key, 1)
+        sub = sample_logits_rwkv_pip_compatible(
+            logits[rows_idx], temperature[rows_idx, 0], top_p[rows_idx, 0],
+            top_k[rows_idx, 0], sub_key)
+        keep = need_row[rows_idx]
+        merged = fast_tokens.at[rows_idx].set(
+            jnp.where(keep, sub, fast_tokens[rows_idx]))
 
-    return jax.lax.cond(need_exact, exact, fast, None)
+        def whole_batch_exact(_):
+            return sample_logits_rwkv_pip_compatible(
+                logits, temperature[:, 0], top_p[:, 0], top_k[:, 0], rng_key)
+
+        return jax.lax.cond(n_need > R, whole_batch_exact, lambda _: merged, None)
+
+    return jax.lax.cond(n_need > 0, fix_rows, lambda _: fast_tokens, None)
 
 
 def apply_penalties(logits, occurrence, presence_vec, frequency_penalty):

@@ -244,3 +244,21 @@ def test_decode_blocks_match_single_steps(vocab_path):
         loop.close()
     assert results[1] == results[4]
     assert len(results[1]) >= 1
+
+
+def test_forbidden_tokens_unbounded(engine_setup):
+    """Arbitrary-size forbidden sets are fully honored (round-1 capped at 8 and
+    silently truncated; the reference accepts any size, worker.py:719-722)."""
+    loop, engine = engine_setup
+    forbidden = list(range(1, 80))  # 79 ids, far beyond the old cap
+
+    async def go():
+        completion = engine.completion(
+            "hello world hello", temperature=1.0, top_p=1.0, max_tokens=12,
+            stop_tokens=[0], forbidden_tokens=forbidden,
+            presence_penalty=0.0, frequency_penalty=0.0)
+        return [e[1] async for e in completion if e[0] == "token"]
+
+    tokens = loop.run_until_complete(asyncio.wait_for(go(), 120))
+    assert len(tokens) >= 1
+    assert not (set(tokens) & set(forbidden))

@@ -1,0 +1,122 @@
+"""Recorded-golden-logits regression of the FULL serving numeric stack.
+
+No real RWKV-7 checkpoint is obtainable in this environment (no egress), so the
+reference's accuracy harness (/root/reference/scripts/test_mmlu/test_mmlu.py:41-86,
+BASELINE MMLU Δ ≤ 0.3) cannot be executed against trained weights. This file is the
+prescribed substitute: fixed-seed synthetic weights, a fixed token sequence, and
+CHECKED-IN expected logits (tests/golden/serving_logits.npz) computed by the
+independent numpy oracle — any numeric regression anywhere in the serving stack
+(model math, quantization, kernels, penalty/return_logits plumbing) breaks these.
+
+Measured deltas vs the fp32 golden (this fixture, logit std 0.25 — margins far
+tighter than a trained model's, so the flip rates below are pessimistic):
+  fp32 stack:        bit-exact (maxabs 0.0)
+  int8 w8a16 (xla):  maxabs 0.023, rel-mean 1.7%, 4-way decision agreement 98.3%
+  int8 w8a8 (xla_a8): maxabs 0.039, rel-mean 2.9%, 4-way decision agreement 98.0%
+The 4-way decision rule mirrors the MMLU harness (argmax of log-probs over 4
+candidate tokens). scripts/test_mmlu.py remains ready to run the real measurement
+the moment a checkpoint is available.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chirrup_tpu.models.config import RWKV7Config, RuntimeConfig
+from chirrup_tpu.models.loader import synthetic_params
+from chirrup_tpu.engine.serving import ServingModel
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                           "serving_logits.npz")
+
+CFG = RWKV7Config(n_layer=3, n_embd=128, vocab_size=512,
+                  d_decay_lora=32, d_iclr_lora=32, d_v_lora=16, d_gate_lora=32)
+
+
+class _T:
+    temperature, top_p, top_k = 0.0, 0.3, 0
+    frequency_penalty, presence_penalty, penalty_decay = 0.0, 0.0, 1.0
+    forbidden_tokens = ()
+
+
+@pytest.fixture(scope="module")
+def golden():
+    data = np.load(GOLDEN_PATH)
+    return data["tokens"], data["logits"]
+
+
+@pytest.fixture(scope="module")
+def params():
+    return synthetic_params(CFG, seed=42)
+
+
+def _serving_logits(params, tokens, quant, mm8_core="auto"):
+    """Per-token raw logits through the real serving path (insert_slot +
+    decode_step with raw_logits — the exact plumbing the MMLU harness uses)."""
+    rt = RuntimeConfig(activation_dtype=jnp.float32, wkv_state_dtype=jnp.float32,
+                       quantization=quant, use_pallas_wkv=False, mm8_core=mm8_core)
+    model = ServingModel(CFG, params, rt, batch_size=2, prefill_chunk=8)
+    carry = model.insert_slot(model.init_carry(), 0, None, _T())
+    act = np.array([True, False])
+    outs = []
+    for t in tokens:
+        carry, _, raw = model.decode_step(
+            carry, jnp.asarray([t, 0], jnp.int32), jnp.asarray(act),
+            jnp.asarray(act))
+        outs.append(np.asarray(raw[0], np.float32))
+    return np.stack(outs)
+
+
+def _four_way_agreement(a, b, n_sets=50, seed=5):
+    """The MMLU harness decision rule: argmax over 4 candidate tokens
+    (reference test_mmlu.py:81-86), sampled candidate sets per position."""
+    crng = np.random.default_rng(seed)
+    agree = total = 0
+    for pos in range(a.shape[0]):
+        for _ in range(n_sets):
+            cand = crng.choice(a.shape[1], 4, replace=False)
+            agree += int(np.argmax(a[pos][cand]) == np.argmax(b[pos][cand]))
+            total += 1
+    return agree / total
+
+
+def test_numpy_oracle_reproduces_golden(golden, params):
+    """The oracle itself hasn't drifted from the recorded fixture."""
+    from tests import oracle_numpy as oracle
+
+    tokens, expected = golden
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    logits, _ = oracle.forward_tokens(params_np, tokens)
+    np.testing.assert_allclose(logits, expected, rtol=0, atol=1e-5)
+
+
+def test_fp32_serving_stack_matches_golden(golden, params):
+    tokens, expected = golden
+    logits = _serving_logits(params, tokens, quant=None)
+    np.testing.assert_allclose(logits, expected, rtol=0, atol=2e-4)
+    assert _four_way_agreement(logits, expected) == 1.0
+
+
+def test_int8_w8a16_serving_stack_vs_golden(golden, params):
+    tokens, expected = golden
+    logits = _serving_logits(params, tokens, quant="int8", mm8_core="xla")
+    d = np.abs(logits - expected)
+    assert d.max() < 0.06, d.max()             # measured 0.023
+    rel = d.mean() / np.abs(expected).mean()
+    assert rel < 0.04, rel                      # measured 0.017
+    assert _four_way_agreement(logits, expected) > 0.95  # measured 0.983
+
+
+def test_int8_w8a8_serving_stack_vs_golden(golden, params):
+    """The serving default quantizes activations too (beyond the reference's
+    w8a16) — its extra delta is bounded here."""
+    tokens, expected = golden
+    logits = _serving_logits(params, tokens, quant="int8", mm8_core="xla_a8")
+    d = np.abs(logits - expected)
+    assert d.max() < 0.10, d.max()             # measured 0.039
+    rel = d.mean() / np.abs(expected).mean()
+    assert rel < 0.06, rel                      # measured 0.029
+    assert _four_way_agreement(logits, expected) > 0.94  # measured 0.980

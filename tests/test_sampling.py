@@ -152,3 +152,57 @@ def test_penalty_semantics():
     # logit[0,3] = 0 - (0.5 + 0.9*2.0) = -2.3
     np.testing.assert_allclose(float(out[0, 3]), -2.3, rtol=1e-6)
     assert float(out[1, 5]) == 0.0
+
+
+def test_fast_sampler_per_row_fallback():
+    """One adversarial row (top_p=1.0 on a flat distribution) must be exact-
+    resampled alone: every other row's token is bit-identical to the batch where
+    that row is benign (no whole-batch fallback), and the flagged row still
+    samples the full support."""
+    V, B, bad = 512, 64, 5
+    rng = np.random.default_rng(11)
+    concentrated = (rng.standard_normal((B, V)) * 8).astype(np.float32)
+    benign = jnp.asarray(concentrated)
+    adversarial = benign.at[bad].set(jnp.zeros(V))  # flat row => uncovered top_p
+
+    temp = jnp.ones(B)
+    top_p = jnp.full(B, 0.99)
+    top_k = jnp.zeros(B, jnp.int32)
+    key = jax.random.key(31)
+
+    toks_benign = np.asarray(sample_logits_rwkv_pip_fast(
+        benign, temp, top_p, top_k, key, k_max=64))
+    toks_adv = np.asarray(sample_logits_rwkv_pip_fast(
+        adversarial, temp, top_p, top_k, key, k_max=64))
+    others = [i for i in range(B) if i != bad]
+    np.testing.assert_array_equal(toks_adv[others], toks_benign[others])
+
+    # the flagged row samples from the FULL vocab (exact path), not the top-64
+    draws = []
+    for s in range(400):
+        t = sample_logits_rwkv_pip_fast(
+            adversarial, temp, top_p, top_k, jax.random.key(s), k_max=64)
+        draws.append(int(t[bad]))
+    assert len(set(draws)) > 250  # uniform over 512 => ~54% unique in 400 draws
+
+
+def test_fast_sampler_row_mask_suppresses_fallback():
+    """Flagged-but-masked rows (inactive slots with garbage logits) must not
+    trigger any fallback work for the batch."""
+    V, B = 256, 16
+    rng = np.random.default_rng(12)
+    logits = jnp.asarray((rng.standard_normal((B, V)) * 8).astype(np.float32))
+    logits = logits.at[3].set(jnp.zeros(V))
+    mask = np.ones(B, bool)
+    mask[3] = False
+    key = jax.random.key(9)
+    toks_masked = np.asarray(sample_logits_rwkv_pip_fast(
+        logits, jnp.ones(B), jnp.full(B, 1.0), jnp.zeros(B, jnp.int32), key,
+        row_mask=jnp.asarray(mask), k_max=64))
+    # same batch with row 3 benign: identical everywhere else
+    benign = logits.at[3].set(logits[4])
+    toks_benign = np.asarray(sample_logits_rwkv_pip_fast(
+        benign, jnp.ones(B), jnp.full(B, 1.0), jnp.zeros(B, jnp.int32), key,
+        row_mask=jnp.asarray(mask), k_max=64))
+    others = [i for i in range(B) if i != 3]
+    np.testing.assert_array_equal(toks_masked[others], toks_benign[others])
