@@ -102,18 +102,20 @@ def _quantize_params(params):
     return out
 
 
-def _merge_att_rkv(params):
+def _merge_att_rkv(params, tp: int = 1):
     """Merge the stacked att R/K/V Mm8Weights into one Mm8MultiWeight so the
-    single-chip step computes all three projections (plus their token-shift
-    mixes and activation quantization) in ONE fused Pallas launch
+    step computes all three projections (plus their token-shift mixes and
+    activation quantization) in ONE fused Pallas launch
     (ops/mm8_pallas.mm8_fused_a8_multi_stacked). No-op unless all three are
-    quantized. Not applied under a mesh: the GSPMD path uses the XLA core."""
+    quantized. Under a tp mesh the merged columns are interleaved by shard
+    group (mm8.merge_stacked tp arg) so each chip's local block is the
+    standard [R|K|V] layout."""
     att = params["blocks"]["att"]
     ws = [att.get(k) for k in ("Wr", "Wk", "Wv")]
     if not all(isinstance(w, mm8.Mm8Weight) for w in ws):
         return params
     att = {k: v for k, v in att.items() if k not in ("Wr", "Wk", "Wv")}
-    att["Wrkv"] = mm8.merge_stacked(ws)
+    att["Wrkv"] = mm8.merge_stacked(ws, tp=tp)
     blocks = dict(params["blocks"])
     blocks["att"] = att
     out = dict(params)
@@ -189,13 +191,11 @@ class ServingModel:
         self.prefill_chunk = prefill_chunk
         self._interpret = interpret_pallas
         self.mesh = mesh
-        if mesh is not None and runtime.mm8_core == "auto":
-            # the pallas mm8 core is not shard_map-wrapped (yet); under GSPMD it
-            # would force a gather of the sharded weights. XLA partitions its own
-            # dot fine.
-            mm8.set_default_core("xla")
-        else:
-            mm8.set_default_core(runtime.mm8_core)
+        # mm8 dispatch settings are trace-time module globals; remember ours and
+        # re-apply before every public call so models with different settings
+        # coexist in one process (traces happen lazily at first call)
+        self._mm8_core = runtime.mm8_core
+        self._apply_op_settings()
 
         already_quantized = any(
             isinstance(leaf, mm8.Mm8Weight)
@@ -203,13 +203,13 @@ class ServingModel:
                 params, is_leaf=lambda x: isinstance(x, mm8.Mm8Weight)))
         if runtime.quantization == "int8" and not already_quantized:
             params = _quantize_params(params)
-        if mesh is None:
-            if mm8._resolved_core() == "pallas_a8":
-                # only the a8 Pallas core has a fused multi-projection kernel;
-                # other cores would fall to per-layer slices of the merged
-                # codes — a full HBM copy per layer per step
-                params = _merge_att_rkv(params)
-            params = _pack_att_lora(params)
+        tp = 1 if mesh is None else int(mesh.shape["tp"])
+        if mm8._resolved_core() == "pallas_a8":
+            # only the a8 Pallas core has a fused multi-projection kernel;
+            # other cores would fall to per-layer slices of the merged
+            # codes — a full HBM copy per layer per step
+            params = _merge_att_rkv(params, tp=tp)
+        params = _pack_att_lora(params)
         self.params = _cast_params(params, runtime.activation_dtype)
 
         if runtime.use_pallas_wkv:
@@ -221,19 +221,18 @@ class ServingModel:
                     use_dither=runtime.use_dither, interpret=interpret_pallas,
                     precision=runtime.wkv_precision)
 
-            if mesh is None:
-                # decode (T=1) runs the TMix-fused kernel: kk/k~ prologue and
-                # GroupNorm+bonus epilogue inside the pallas call (_tmix
-                # dispatches on this attribute)
-                def fused_step(s, r, w, k_raw, a_iclr, v_nh, kk, ka, rk,
-                               lnw, lnb, e, lengths, layer):
-                    return wkv7_pallas.wkv7_pallas_step_fused(
-                        s, layer, r, w, k_raw, a_iclr, v_nh, kk, ka, rk,
-                        lnw, lnb, e, lengths,
-                        use_dither=runtime.use_dither,
-                        interpret=interpret_pallas,
-                        precision=runtime.wkv_precision)
-                raw_wkv.fused_step = fused_step
+            # decode (T=1) runs the TMix-fused kernel: kk/k~ prologue and
+            # GroupNorm+bonus epilogue inside the pallas call (_tmix
+            # dispatches on this attribute)
+            def fused_step(s, r, w, k_raw, a_iclr, v_nh, kk, ka, rk,
+                           lnw, lnb, e, lengths, layer):
+                return wkv7_pallas.wkv7_pallas_step_fused(
+                    s, layer, r, w, k_raw, a_iclr, v_nh, kk, ka, rk,
+                    lnw, lnb, e, lengths,
+                    use_dither=runtime.use_dither,
+                    interpret=interpret_pallas,
+                    precision=runtime.wkv_precision)
+            raw_wkv.fused_step = fused_step
         else:
             def raw_wkv(s, r, w, k, v, a, b, e, lengths, layer):
                 s_l = jax.lax.dynamic_index_in_dim(s, layer, 0, keepdims=False)
@@ -246,9 +245,17 @@ class ServingModel:
         if mesh is None:
             self._wkv_fn = raw_wkv
             self._carry_shardings = None
+            self._fwd_step_sharded = None
+            self._fwd_chunk_sharded = None
         else:
-            # head-parallel WKV: each chip runs the kernel on its own heads' states
-            # (the recurrence has no cross-head terms, so no collectives inside)
+            # Explicit-SPMD serving step: the WHOLE forward runs inside ONE
+            # shard_map over the tp axis — Megatron column-parallel R/K/V/FFN-K
+            # and head-parallel WKV/GroupNorm/bonus are chip-local (so every
+            # fused Pallas kernel runs unchanged on its local shard, keeping
+            # 1-byte/weight HBM traffic), with exactly two psums per layer
+            # (after the row-parallel Wo and FFN-V). The head is column-
+            # parallel: logits leave the shard_map vocab-sharded, and the
+            # sampler/penalty ops on (B, V)-sharded arrays stay GSPMD.
             from chirrup_tpu.parallel import mesh as pmesh
             from jax.sharding import PartitionSpec as P
             try:
@@ -264,33 +271,44 @@ class ServingModel:
                     return _shard_map(f, mesh=mesh, in_specs=in_specs,
                                       out_specs=out_specs, check_rep=False)
 
-            bax = "dp" if batch_sharded_dp else None
-            io = P(bax, None, "tp")          # activations r/w/k/v/a/b + y
-            st = P(None, bax, None, "tp")    # stacked (L, B, N, HN) state
-            rep = P(bax)
-
-            sharded_with_len = smap(
-                lambda s, r, w, k, v, a, b, e, ln, li: raw_wkv(
-                    s, r, w, k, v, a, b, e, ln, li),
-                in_specs=(st, io, io, io, io, io, io, rep, rep, P()),
-                out_specs=(io, st))
-            sharded_no_len = smap(
-                lambda s, r, w, k, v, a, b, e, li: raw_wkv(
-                    s, r, w, k, v, a, b, e, None, li),
-                in_specs=(st, io, io, io, io, io, io, rep, P()),
-                out_specs=(io, st))
-
-            def sharded_wkv(s, r, w, k, v, a, b, e, lengths, layer):
-                li = jnp.asarray(layer, jnp.int32)
-                if lengths is None:
-                    return sharded_no_len(s, r, w, k, v, a, b, e, li)
-                return sharded_with_len(s, r, w, k, v, a, b, e, lengths, li)
-
-            self._wkv_fn = sharded_wkv
-            self.params = jax.device_put(
-                self.params, pmesh.param_shardings(mesh, self.params))
+            p_shardings = pmesh.param_shardings(mesh, self.params)
+            param_specs = jax.tree_util.tree_map(lambda ns: ns.spec, p_shardings)
+            self.params = jax.device_put(self.params, p_shardings)
             self._carry_shardings = pmesh.carry_shardings(
                 mesh, batch_sharded=batch_sharded_dp)
+
+            bax = "dp" if batch_sharded_dp else None
+            vec = P(bax)
+            st_shift = P(None, None, bax, None)
+            st_wkv = P(None, bax, None, "tp")
+            compute_dtype = runtime.activation_dtype
+
+            def psum_tp(y):
+                return jax.lax.psum(y, "tp")
+
+            def step_local(p, tokens, shift, wkv, elapsed, active):
+                state = RWKVState(shift=shift, wkv=wkv, elapsed=elapsed)
+                logits, ns = model.forward_step(
+                    p, tokens, state, active=active, wkv_fn=raw_wkv,
+                    compute_dtype=compute_dtype, reduce_fn=psum_tp)
+                return logits, ns.shift, ns.wkv, ns.elapsed
+
+            def chunk_local(p, tokens, shift, wkv, elapsed, lengths):
+                state = RWKVState(shift=shift, wkv=wkv, elapsed=elapsed)
+                ns = model.forward_chunk(
+                    p, tokens, state, lengths, wkv_fn=raw_wkv,
+                    compute_dtype=compute_dtype, reduce_fn=psum_tp)
+                return ns.shift, ns.wkv, ns.elapsed
+
+            self._fwd_step_sharded = smap(
+                step_local,
+                in_specs=(param_specs, vec, st_shift, st_wkv, vec, vec),
+                out_specs=(P(bax, "tp"), st_shift, st_wkv, vec))
+            self._fwd_chunk_sharded = smap(
+                chunk_local,
+                in_specs=(param_specs, P(bax, None), st_shift, st_wkv, vec, vec),
+                out_specs=(st_shift, st_wkv, vec))
+            self._wkv_fn = raw_wkv  # used only inside the shard_map
 
         self._no_penalty_ids = jnp.asarray(sorted(NO_PENALTY_TOKEN_IDS), jnp.int32)
         self._seed = seed
@@ -303,6 +321,14 @@ class ServingModel:
         self._insert_slot = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
         self._reset_slot = jax.jit(self._reset_slot_impl, donate_argnums=(0,))
         self._extract_slot = jax.jit(self._extract_slot_impl)
+
+    def _apply_op_settings(self):
+        """Re-apply this model's trace-time op settings (mm8 core + pallas
+        interpret). Called at init and before each public entry point: jitted
+        programs trace lazily on first call, and another ServingModel in the
+        same process may have set different globals since construction."""
+        mm8.set_default_core(self._mm8_core)
+        mm8.set_interpret(self._interpret)
 
     # ------------------------------------------------------------------ carry
 
@@ -348,9 +374,15 @@ class ServingModel:
         """
         tokens = jnp.where(feedback_mask, jnp.maximum(carry.last_sampled, 0),
                            host_tokens)
-        logits, new_state = model.forward_step(
-            params, tokens, carry.state, active=active_mask,
-            wkv_fn=self._wkv_fn, compute_dtype=self.runtime.activation_dtype)
+        if self._fwd_step_sharded is not None:
+            st = carry.state
+            logits, n_shift, n_wkv, n_elapsed = self._fwd_step_sharded(
+                params, tokens, st.shift, st.wkv, st.elapsed, active_mask)
+            new_state = RWKVState(shift=n_shift, wkv=n_wkv, elapsed=n_elapsed)
+        else:
+            logits, new_state = model.forward_step(
+                params, tokens, carry.state, active=active_mask,
+                wkv_fn=self._wkv_fn, compute_dtype=self.runtime.activation_dtype)
         raw_logits = logits  # pre-penalty (reference worker.py:714-716)
 
         # occurrence decays at forward time, decode slots only (worker.py:723-728)
@@ -412,9 +444,15 @@ class ServingModel:
         tokens: (B, T) int32; lengths: (B,) int32 with 0 for non-prefill slots.
         No logits are computed (the final prompt token always goes through
         decode_step, mirroring the reference's one-prefill phase)."""
-        new_state = model.forward_chunk(
-            params, tokens, carry.state, lengths, wkv_fn=self._wkv_fn,
-            compute_dtype=self.runtime.activation_dtype)
+        if self._fwd_chunk_sharded is not None:
+            st = carry.state
+            n_shift, n_wkv, n_elapsed = self._fwd_chunk_sharded(
+                params, tokens, st.shift, st.wkv, st.elapsed, lengths)
+            new_state = RWKVState(shift=n_shift, wkv=n_wkv, elapsed=n_elapsed)
+        else:
+            new_state = model.forward_chunk(
+                params, tokens, carry.state, lengths, wkv_fn=self._wkv_fn,
+                compute_dtype=self.runtime.activation_dtype)
         return dataclasses.replace(carry, state=new_state)
 
     def _insert_slot_impl(self, carry: BatchCarry, slot, shift, wkv, elapsed,
@@ -480,6 +518,7 @@ class ServingModel:
 
     def decode_step(self, carry, tokens, active_mask, decode_mask,
                     feedback_mask=None):
+        self._apply_op_settings()
         if feedback_mask is None:
             feedback_mask = jnp.zeros(self.batch_size, bool)
         return self._decode_step(self.params, carry, jnp.asarray(tokens),
@@ -489,12 +528,14 @@ class ServingModel:
 
     def decode_block(self, carry, tokens, feedback_mask, active_mask, decode_mask):
         """K steps per dispatch; all args (K, B). Returns (carry, sampled (K, B))."""
+        self._apply_op_settings()
         return self._decode_block(self.params, carry, jnp.asarray(tokens),
                                   jnp.asarray(feedback_mask),
                                   jnp.asarray(active_mask),
                                   jnp.asarray(decode_mask))
 
     def prefill_step(self, carry, tokens, lengths):
+        self._apply_op_settings()
         return self._prefill_step(self.params, carry, tokens, lengths)
 
     def insert_slot(self, carry, slot: int, request_state: Optional[RequestState],

@@ -99,14 +99,22 @@ def _masked_last(x, lengths, prev):
 # blocks
 
 def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
-          lengths, wkv_fn):
+          lengths, wkv_fn, reduce_fn=None):
     """Time-mix. Reference: RWKV_x070_TMix_seq_batch (Albatross/rwkv7.py:619-649).
 
     wkv_full is the STACKED (L, B, N, H*N) recurrent state; wkv_fn advances only
     layer li's slab in place (pallas path: zero-copy via a prefetched layer
-    index; reference path: slice + dynamic_update)."""
+    index; reference path: slice + dynamic_update).
+
+    SPMD note: under tensor parallelism this whole function runs INSIDE
+    shard_map with head-sharded projections — x/xx are full-C (replicated)
+    while every per-head tensor (k, v, y, kk, ...) is the chip's local shard.
+    Per-head dims are therefore derived from the per-head tensors themselves
+    (never from x), and `reduce_fn` (psum over the tp axis) is applied to the
+    row-parallel output projection. Meshless: reduce_fn=None, local == global."""
     B, T, C = x.shape
-    H, N = C // HEAD_SIZE, HEAD_SIZE
+    N = HEAD_SIZE
+    reduce_fn = reduce_fn or (lambda y: y)
 
     xx = jnp.concatenate([shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
 
@@ -137,7 +145,7 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
         s1 = jnp.stack([jnp.tanh(s1[0]), s1[1], s1[2], jax.nn.sigmoid(s1[3])])
         s2 = jnp.einsum("nbd,ndc->nbc", s1, att["lora2"],
                         preferred_element_type=jnp.float32).astype(x.dtype)
-        s2 = s2.reshape(4, B, T, C)
+        s2 = s2.reshape(4, B, T, s2.shape[-1])  # last dim is head-local under tp
         w_raw = s2[0] + att["w0"]
         a = jax.nn.sigmoid(s2[1] + att["a0"])
         v_gate_pre = s2[2] + att["v0"]
@@ -163,21 +171,23 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
         # (ops/wkv7_pallas._wkv7_kernel_t1_fused); k and a go in RAW
         lnw_nh = att.get("ln_x_w_nh")
         lnb_nh = att.get("ln_x_b_nh")
+        Hl = v.shape[-1] // N  # local heads (sharded under tp)
         if lnw_nh is None:
-            lnw_nh = att["ln_x_w"].reshape(H, N).swapaxes(0, 1)
-            lnb_nh = att["ln_x_b"].reshape(H, N).swapaxes(0, 1)
-        v_nh = v.reshape(B, H, N).transpose(0, 2, 1)
+            lnw_nh = att["ln_x_w"].reshape(Hl, N).swapaxes(0, 1)
+            lnb_nh = att["ln_x_b"].reshape(Hl, N).swapaxes(0, 1)
+        v_nh = v.reshape(B, Hl, N).transpose(0, 2, 1)
         ln = jnp.ones((B,), jnp.int32) if lengths is None else lengths
         y_nh, wkv_full_new = fused_step(
             wkv_full, r[:, 0], w_raw[:, 0], k[:, 0], a[:, 0], v_nh,
-            att["k_k"].reshape(C), att["k_a"].reshape(C),
-            att["r_k"].reshape(C), lnw_nh, lnb_nh, elapsed, ln, li)
-        y = y_nh.transpose(0, 2, 1).reshape(B, 1, C).astype(x.dtype)
-        out = matmul(y * g, att["Wo"])
+            att["k_k"].reshape(-1), att["k_a"].reshape(-1),
+            att["r_k"].reshape(-1), lnw_nh, lnb_nh, elapsed, ln, li)
+        y = y_nh.transpose(0, 2, 1).reshape(B, 1, Hl * N).astype(x.dtype)
+        out = reduce_fn(matmul(y * g, att["Wo"]))
         new_shift = _masked_last(x, lengths, shift_prev)
         return out, new_shift, v_first_new, wkv_full_new
 
-    kk = _l2_normalize_heads(k * att["k_k"], H, N)
+    Hl = k.shape[-1] // N  # local heads (sharded under tp)
+    kk = _l2_normalize_heads(k * att["k_k"], Hl, N)
     k = k * (1 + (a - 1) * att["k_a"])
     kka = kk * a
 
@@ -185,18 +195,20 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
                              lengths, li)
     y = y.astype(x.dtype)
 
-    y = group_norm(y, H, att["ln_x_w"], att["ln_x_b"], eps=64e-5)
-    bonus = (r * k * att["r_k"].reshape(C)).reshape(B, T, H, N).sum(-1, keepdims=True)
-    y = y + (bonus * v.reshape(B, T, H, N)).reshape(B, T, C)
-    out = matmul(y * g, att["Wo"])
+    y = group_norm(y, Hl, att["ln_x_w"], att["ln_x_b"], eps=64e-5)
+    bonus = (r * k * att["r_k"].reshape(-1)).reshape(B, T, Hl, N).sum(-1, keepdims=True)
+    y = y + (bonus * v.reshape(B, T, Hl, N)).reshape(B, T, Hl * N)
+    out = reduce_fn(matmul(y * g, att["Wo"]))
 
     new_shift = _masked_last(x, lengths, shift_prev)
     return out, new_shift, v_first_new, wkv_full_new
 
 
-def _cmix(ffn, x, shift_prev, lengths):
+def _cmix(ffn, x, shift_prev, lengths, reduce_fn=None):
     """Channel-mix FFN with relu^2. Reference: RWKV_x070_CMix_seq_batch
-    (Albatross/rwkv7.py:674-679)."""
+    (Albatross/rwkv7.py:674-679). Under tp, Wk is column-parallel and Wv
+    row-parallel: the local output is a partial sum, reduce_fn psums it."""
+    reduce_fn = reduce_fn or (lambda y: y)
     xx = jnp.concatenate([shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
     kx = x + xx * ffn["x_k"]
     if isinstance(ffn["Wk"], (mm8.Mm8Weight, mm8.LayerIndexed)) \
@@ -207,10 +219,10 @@ def _cmix(ffn, x, shift_prev, lengths):
         kk = matmul(kx, ffn["Wk"], activation="relu2")
         out = matmul(kk, ffn["Wv"])
     new_shift = _masked_last(x, lengths, shift_prev)
-    return out, new_shift
+    return reduce_fn(out), new_shift
 
 
-def _backbone(params, x, state: RWKVState, lengths, wkv_fn):
+def _backbone(params, x, state: RWKVState, lengths, wkv_fn, reduce_fn=None):
     """Run all layers with the recurrent state updated IN PLACE.
 
     A lax.scan with the state as xs/ys would allocate a fresh stacked ys buffer
@@ -238,17 +250,20 @@ def _backbone(params, x, state: RWKVState, lengths, wkv_fn):
         xn = layer_norm(xc, blk["ln1_w"], blk["ln1_b"])
         att_out, att_shift, v_first, wkv = _tmix(
             blk["att"], li, is_first, xn, shift_l[0], v_first, wkv,
-            state.elapsed, lengths, wkv_fn)
+            state.elapsed, lengths, wkv_fn, reduce_fn)
         xc = xc + att_out
         xn = layer_norm(xc, blk["ln2_w"], blk["ln2_b"])
-        ffn_out, ffn_shift = _cmix(blk["ffn"], xn, shift_l[1], lengths)
+        ffn_out, ffn_shift = _cmix(blk["ffn"], xn, shift_l[1], lengths, reduce_fn)
         xc = xc + ffn_out
         new_shift_l = jnp.stack([att_shift, ffn_shift])
         shift = jax.lax.dynamic_update_index_in_dim(
             shift, new_shift_l.astype(shift.dtype), li, 0)
         return xc, v_first, shift, wkv
 
-    v_first0 = jnp.zeros_like(x)
+    # v_first is head-local under tp: its width comes from a per-head param
+    # (k_k), NOT from the replicated x
+    B, T = x.shape[0], x.shape[1]
+    v_first0 = jnp.zeros((B, T, blocks["att"]["k_k"].shape[-1]), x.dtype)
     x_out, _, new_shift, new_wkv = jax.lax.fori_loop(
         0, L, layer_step, (x, v_first0, state.shift, state.wkv))
     return x_out, new_shift, new_wkv
@@ -270,7 +285,7 @@ def _default_wkv_fn(wkv_full, r, w_raw, k, v, a, b, elapsed, lengths, layer):
 
 def forward_chunk(params, tokens, state: RWKVState, lengths=None, *,
                   wkv_fn: Optional[Callable] = None,
-                  compute_dtype=jnp.float32) -> RWKVState:
+                  compute_dtype=jnp.float32, reduce_fn=None) -> RWKVState:
     """Prefill a chunk: advance state over tokens (B, T); no logits computed
     (the head matmul is skipped — the last prompt token always goes through
     forward_step, mirroring the reference's one-prefill phase, worker.py:447-476).
@@ -278,14 +293,16 @@ def forward_chunk(params, tokens, state: RWKVState, lengths=None, *,
     lengths: (B,) int32 valid token counts per row (rows may be ragged/inactive)."""
     wkv_fn = wkv_fn or _default_wkv_fn
     x = _embed(params, tokens, compute_dtype)
-    _, new_shift, new_wkv = _backbone(params, x, state, lengths, wkv_fn)
+    _, new_shift, new_wkv = _backbone(params, x, state, lengths, wkv_fn,
+                                      reduce_fn)
     T = tokens.shape[1]
     n_tok = jnp.full_like(state.elapsed, T) if lengths is None else lengths
     return RWKVState(shift=new_shift, wkv=new_wkv, elapsed=state.elapsed + n_tok)
 
 
 def forward_step(params, tokens, state: RWKVState, active=None, *,
-                 wkv_fn: Optional[Callable] = None, compute_dtype=jnp.float32):
+                 wkv_fn: Optional[Callable] = None, compute_dtype=jnp.float32,
+                 reduce_fn=None):
     """One-token step for the whole batch: tokens (B,) -> logits (B, V) fp32.
 
     active: optional (B,) bool; inactive rows keep their state and yield garbage
@@ -295,7 +312,8 @@ def forward_step(params, tokens, state: RWKVState, active=None, *,
     B = tokens.shape[0]
     lengths = None if active is None else active.astype(jnp.int32)
     x = _embed(params, tokens[:, None], compute_dtype)
-    x_out, new_shift, new_wkv = _backbone(params, x, state, lengths, wkv_fn)
+    x_out, new_shift, new_wkv = _backbone(params, x, state, lengths, wkv_fn,
+                                          reduce_fn)
     xh = layer_norm(x_out[:, 0], params["ln_out_w"], params["ln_out_b"])
     logits = matmul(xh, params["head"]).astype(jnp.float32)
     n_tok = jnp.ones_like(state.elapsed) if lengths is None else lengths
@@ -304,12 +322,14 @@ def forward_step(params, tokens, state: RWKVState, active=None, *,
 
 
 def forward_seq(params, tokens, state: RWKVState, *, full_output=False,
-                wkv_fn: Optional[Callable] = None, compute_dtype=jnp.float32):
+                wkv_fn: Optional[Callable] = None, compute_dtype=jnp.float32,
+                reduce_fn=None):
     """Whole-sequence forward with logits — the eval/oracle path
     (reference forward_seq_batch, rwkv7.py:352-382)."""
     wkv_fn = wkv_fn or _default_wkv_fn
     x = _embed(params, tokens, compute_dtype)
-    x_out, new_shift, new_wkv = _backbone(params, x, state, None, wkv_fn)
+    x_out, new_shift, new_wkv = _backbone(params, x, state, None, wkv_fn,
+                                          reduce_fn)
     if not full_output:
         x_out = x_out[:, -1:, :]
     xh = layer_norm(x_out, params["ln_out_w"], params["ln_out_b"])

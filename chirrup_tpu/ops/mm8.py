@@ -125,11 +125,15 @@ def _int8_core_pallas_a8(xs, q):
     from chirrup_tpu.ops.mm8_pallas import mm8_core_pallas_a8
 
     xs8, s = quantize_activations(xs)
-    return mm8_core_pallas_a8(xs8, q).astype(jnp.float32) * s
+    return mm8_core_pallas_a8(xs8, q,
+                              interpret=_INTERPRET).astype(jnp.float32) * s
 
 
 # trace-time default: "auto" | "pallas" | "pallas_a8" | "xla" | "xla_a8"
 _DEFAULT_CORE = "auto"
+# trace-time interpret-mode flag for the Pallas kernels (CPU-mesh parity tests
+# drive the REAL serving dispatch with interpret=True)
+_INTERPRET = False
 
 
 def set_default_core(name: str) -> None:
@@ -138,6 +142,13 @@ def set_default_core(name: str) -> None:
     global _DEFAULT_CORE
     assert name in ("auto", "pallas", "pallas_a8", "xla", "xla_a8"), name
     _DEFAULT_CORE = name
+
+
+def set_interpret(flag: bool) -> None:
+    """Run the Pallas mm8 kernels in interpret mode (trace-time, like
+    set_default_core). Lets CPU tests exercise the exact serving dispatch."""
+    global _INTERPRET
+    _INTERPRET = bool(flag)
 
 
 def _resolved_core() -> str:
@@ -162,7 +173,7 @@ def _int8_core_auto(xs, q):
         if mm8_core_supported(B, K, M):
             if core == "pallas_a8":
                 return _int8_core_pallas_a8(xs, q)
-            return mm8_core_pallas(xs, q)
+            return mm8_core_pallas(xs, q, interpret=_INTERPRET)
         if core == "pallas_a8":
             return _int8_core_xla_a8(xs, q)
     return _int8_core_xla(xs, q)
@@ -189,14 +200,32 @@ class Mm8MultiWeight:
         return self.my.shape[1]
 
 
-def merge_stacked(ws) -> Mm8MultiWeight:
+def merge_stacked(ws, tp: int = 1) -> Mm8MultiWeight:
     """Merge stacked (L, K, C_i) Mm8Weights sharing K into one Mm8MultiWeight.
-    All C_i must be equal (the fused kernel tiles a uniform per-projection C)."""
+    All C_i must be equal (the fused kernel tiles a uniform per-projection C).
+
+    tp > 1 interleaves the merged columns by tensor-parallel shard group —
+    global order [W0_s0 | W1_s0 | ... | W0_s1 | W1_s1 | ...] — so that sharding
+    the merged axis over tp hands each chip a contiguous [W0_loc | W1_loc | ...]
+    block: inside shard_map the local layout is exactly the tp=1 layout, and
+    mm8_multi_matmul / the fused kernel work unchanged on the shard."""
     assert len({w.q.shape for w in ws}) == 1, [w.q.shape for w in ws]
+    n = len(ws)
+    L, K, C = ws[0].q.shape
+    assert C % tp == 0, (C, tp)
+
+    def interleave(parts):
+        # each part (..., C) -> (..., tp, C/tp); stack projections after the
+        # shard axis; flatten back to (..., n*C)
+        lead_idx = parts[0].ndim - 1
+        split = [p.reshape(p.shape[:-1] + (tp, C // tp)) for p in parts]
+        stacked = jnp.stack(split, axis=lead_idx + 1)  # (..., tp, n, C/tp)
+        return stacked.reshape(parts[0].shape[:-1] + (n * C,))
+
     return Mm8MultiWeight(
-        q=jnp.concatenate([w.q for w in ws], axis=2),
-        mx=jnp.concatenate([w.mx for w in ws], axis=1),
-        rx=jnp.concatenate([w.rx for w in ws], axis=1),
+        q=interleave([w.q for w in ws]),
+        mx=interleave([w.mx for w in ws]),
+        rx=interleave([w.rx for w in ws]),
         my=jnp.stack([w.my for w in ws], axis=1),
         ry=jnp.stack([w.ry for w in ws], axis=1),
     )
@@ -226,7 +255,7 @@ def mm8_multi_matmul(x, xx, mu, w: Mm8MultiWeight, li):
                 v, li, 0, keepdims=False)
             y = mm8_fused_a8_multi_stacked(
                 x2, xx.reshape(-1, K), jnp.asarray(mu), pick(w.mx), pick(w.rx),
-                pick(w.my), pick(w.ry), w.q, li)
+                pick(w.my), pick(w.ry), w.q, li, interpret=_INTERPRET)
             return y.reshape(lead + (Mtot,))
     outs = []
     for m in range(n):
@@ -283,7 +312,8 @@ def mm8_ffn_matmul(x, wk, wv):
                 getattr(wv.w, v), wv.li, 0, keepdims=False)
             y = mm8_fused_a8_ffn_stacked(
                 x2, pk("mx"), pk("rx"), pk("my"), pk("ry"), wk.w.q,
-                pv("mx"), pv("rx"), pv("my"), pv("ry"), wv.w.q, wk.li)
+                pv("mx"), pv("rx"), pv("my"), pv("ry"), wv.w.q, wk.li,
+                interpret=_INTERPRET)
             return y.reshape(lead + (M,))
     kk = mm8_matmul(x, wk, activation="relu2")
     return mm8_matmul(kk, wv)
@@ -318,13 +348,14 @@ def mm8_matmul(x, w, *, core=None, activation=None):
                     v, w.li, 0, keepdims=False)
                 y = mm8_fused_a8_stacked(
                     x2, pick(w.w.mx), pick(w.w.rx), pick(w.w.my),
-                    pick(w.w.ry), w.w.q, w.li, activation=activation)
+                    pick(w.w.ry), w.w.q, w.li, activation=activation,
+                    interpret=_INTERPRET)
                 return y.reshape(lead + (Mo,))
         else:
             Mo = w.q.shape[1]
             if mm8_core_supported(B, K, Mo):
                 y = mm8_fused_a8(x2, w.mx, w.rx, w.my, w.ry, w.q,
-                                 activation=activation)
+                                 activation=activation, interpret=_INTERPRET)
                 return y.reshape(lead + (Mo,))
 
     if isinstance(w, LayerIndexed):
@@ -350,9 +381,11 @@ def mm8_matmul(x, w, *, core=None, activation=None):
                 if mm8_core_supported(B, K, M):
                     if core_name == "pallas_a8":
                         xs8, s = quantize_activations(xs)
-                        acc = mm8_core_pallas_a8_stacked(xs8, q3, li)
+                        acc = mm8_core_pallas_a8_stacked(xs8, q3, li,
+                                                         interpret=_INTERPRET)
                         return acc.astype(jnp.float32) * s
-                    return mm8_core_pallas_stacked(xs, q3, li)
+                    return mm8_core_pallas_stacked(xs, q3, li,
+                                                   interpret=_INTERPRET)
                 if core_name == "pallas_a8":
                     return _int8_core_xla_a8(
                         xs,

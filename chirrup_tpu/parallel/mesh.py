@@ -62,8 +62,24 @@ def _mm8_sharding(mesh, col_parallel: bool, stacked: bool):
         my=_ns(mesh, *lead, "tp"), ry=_ns(mesh, *lead, "tp"))
 
 
+def _multi_mm8_sharding(mesh):
+    """Mm8MultiWeight (merged R/K/V, shard-group-interleaved columns): codes and
+    per-column scales sharded on the merged output axis; per-projection per-row
+    scales replicated (full K on every chip)."""
+    from chirrup_tpu.ops.mm8 import Mm8MultiWeight
+
+    return Mm8MultiWeight(
+        q=_ns(mesh, None, None, "tp"),
+        mx=_ns(mesh, None, "tp"), rx=_ns(mesh, None, "tp"),
+        my=_ns(mesh, None, None, None), ry=_ns(mesh, None, None, None))
+
+
 def param_shardings(mesh: Mesh, params):
-    """Build the NamedSharding pytree matching the params pytree."""
+    """Build the NamedSharding pytree matching the params pytree.
+
+    Key-driven so it covers every serving parameter layout: raw Wr/Wk/Wv or the
+    merged Wrkv (Mm8MultiWeight), separate LoRA factors or the packed
+    lora1/lora2 pair, plus the kernel-layout GroupNorm params (ln_x_*_nh)."""
     def dense_or_mm8(w, col_parallel):
         if isinstance(w, Mm8Weight):
             return _mm8_sharding(mesh, col_parallel, stacked=True)
@@ -78,25 +94,36 @@ def param_shardings(mesh: Mesh, params):
     att = blocks["att"]
     ffn = blocks["ffn"]
 
-    att_sh = {
+    att_spec_fns = {
         # token-shift mixes act on replicated x
-        "x_r": repL, "x_w": repL, "x_k": repL, "x_v": repL, "x_a": repL,
-        "x_g": repL,
-        # LoRA: first factor replicated, second column-parallel; biases head-sharded
-        "w0": headL, "w1": _ns(mesh, None, None, None),
-        "w2": _ns(mesh, None, None, "tp"),
-        "a0": headL, "a1": _ns(mesh, None, None, None),
-        "a2": _ns(mesh, None, None, "tp"),
-        "v0": headL, "v1": _ns(mesh, None, None, None),
-        "v2": _ns(mesh, None, None, "tp"),
-        "g1": _ns(mesh, None, None, None), "g2": _ns(mesh, None, None, "tp"),
-        "k_k": headL, "k_a": headL, "r_k": _ns(mesh, None, "tp", None),
-        "Wr": dense_or_mm8(att["Wr"], True),
-        "Wk": dense_or_mm8(att["Wk"], True),
-        "Wv": dense_or_mm8(att["Wv"], True),
-        "Wo": dense_or_mm8(att["Wo"], False),
-        "ln_x_w": headL, "ln_x_b": headL,
+        "x_r": lambda w: repL, "x_w": lambda w: repL, "x_k": lambda w: repL,
+        "x_v": lambda w: repL, "x_a": lambda w: repL, "x_g": lambda w: repL,
+        # LoRA: first factor replicated, second column-parallel; biases
+        # head-sharded (they add onto column-parallel outputs)
+        "w0": lambda w: headL, "w1": lambda w: _ns(mesh, None, None, None),
+        "w2": lambda w: _ns(mesh, None, None, "tp"),
+        "a0": lambda w: headL, "a1": lambda w: _ns(mesh, None, None, None),
+        "a2": lambda w: _ns(mesh, None, None, "tp"),
+        "v0": lambda w: headL, "v1": lambda w: _ns(mesh, None, None, None),
+        "v2": lambda w: _ns(mesh, None, None, "tp"),
+        "g1": lambda w: _ns(mesh, None, None, None),
+        "g2": lambda w: _ns(mesh, None, None, "tp"),
+        # packed LoRA (serving layout): (L,4,C,D) replicated; (L,4,D,C) col-par
+        "lora1": lambda w: _ns(mesh, None, None, None, None),
+        "lora2": lambda w: _ns(mesh, None, None, None, "tp"),
+        "k_k": lambda w: headL, "k_a": lambda w: headL,
+        "r_k": lambda w: _ns(mesh, None, "tp", None),
+        "Wr": lambda w: dense_or_mm8(w, True),
+        "Wk": lambda w: dense_or_mm8(w, True),
+        "Wv": lambda w: dense_or_mm8(w, True),
+        "Wrkv": lambda w: _multi_mm8_sharding(mesh),
+        "Wo": lambda w: dense_or_mm8(w, False),
+        "ln_x_w": lambda w: headL, "ln_x_b": lambda w: headL,
+        # kernel-layout GroupNorm params: (L, 64, H) — heads on the last axis
+        "ln_x_w_nh": lambda w: _ns(mesh, None, None, "tp"),
+        "ln_x_b_nh": lambda w: _ns(mesh, None, None, "tp"),
     }
+    att_sh = {k: att_spec_fns[k](v) for k, v in att.items()}
     ffn_sh = {
         "x_k": repL,
         "Wk": dense_or_mm8(ffn["Wk"], True),

@@ -34,6 +34,10 @@ class ChatCompletionRequest(BaseModel):
                                  ge=0.0, le=1.0)
     max_tokens: int = Field(default=DEFAULT_SAMPLING_CONFIG["max_tokens"], ge=1)
     stop: Optional[Union[str, List[str]]] = None
+    ignore_eos: bool = Field(
+        default=False,
+        description="disable ALL stop tokens (incl. defaults) so generation "
+                    "always runs to max_tokens — the vLLM benchmarking extra")
 
     pad_zero: bool = Field(default=True, description="prepend token 0 to the prompt")
     use_state_cache: bool = True

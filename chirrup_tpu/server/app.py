@@ -142,7 +142,8 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         presence_penalty=req.presence_penalty,
         frequency_penalty=req.frequency_penalty,
         penalty_decay=req.penalty_decay,
-        stop_tokens=set(DEFAULT_STOP_TOKENS) | set(stop_tokens),
+        stop_tokens=(set() if req.ignore_eos
+                     else set(DEFAULT_STOP_TOKENS) | set(stop_tokens)),
         cache_prefill=config.state_cache_size > 0 and req.cache_prefill
         and state_cache is not None,
         cache_prefill_padding=cache_prefill_padding,

@@ -33,20 +33,36 @@ async def one_stream(session, url, args, idx, counts):
                       "content": f"Write a long story, variant {idx}."}],
         "stream": True, "max_tokens": args.max_tokens,
         "temperature": 1.0, "top_p": 0.5,
+        # benchmark extra: run to max_tokens even when the model samples a
+        # stop token (synthetic models hit one within a couple of tokens)
+        "ignore_eos": True,
     }
     try:
         async with session.post(f"{url}/v1/chat/completions", json=body) as resp:
-            async for raw in resp.content:
-                if raw.startswith(b"data: ") and not raw.startswith(b"data: [DONE]"):
+            # readline, not chunk iteration: one SSE event == one "data:" line,
+            # but a network chunk can carry several lines (chunk iteration
+            # undercounts tokens badly)
+            while True:
+                raw = await resp.content.readline()
+                if not raw:
+                    break
+                if raw.startswith(b"data: ") and b"[DONE]" not in raw:
                     counts[0] += 1
     except (aiohttp.ClientError, asyncio.TimeoutError) as exc:
         print(f"stream {idx} error: {exc}")
 
 
 async def measure(url, n_streams, args) -> float:
-    counts = [0]
     timeout = aiohttp.ClientTimeout(total=None)
     async with aiohttp.ClientSession(timeout=timeout) as session:
+        # warmup: compiles every backend's step programs and fills the batch
+        # pipeline, so the measured round sees steady state (without this the
+        # single-backend round eats the jit compile and "efficiency" inflates)
+        warm = [0]
+        await asyncio.gather(
+            *(one_stream(session, url, args, i, warm)
+              for i in range(n_streams)))
+        counts = [0]
         t0 = time.time()
         await asyncio.gather(
             *(one_stream(session, url, args, i, counts)
@@ -99,9 +115,13 @@ def spawn_synthetic(n, base_port):
             f"'--vocab_path','{vocab}','--port','{port}',"
             "'--batch_size','8','--quantization','none'];"
             "runpy.run_module('chirrup_tpu.server', run_name='__main__')")
+        # JAX_PLATFORMS must be cpu IN THE ENV: the server entrypoint re-applies
+        # the env var over any config.update (so an ambient JAX_PLATFORMS=axon
+        # would re-select a TPU backend here and hang if the tunnel is down)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
         procs.append(subprocess.Popen(
             [sys.executable, "-c", code],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env))
         urls.append(f"http://127.0.0.1:{port}")
     return urls, procs
 
