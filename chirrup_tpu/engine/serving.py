@@ -162,6 +162,30 @@ def _pack_att_lora(params):
     return out
 
 
+def _place_tree_global(tree, shardings):
+    """device_put a pytree onto NamedShardings that may span PROCESSES.
+
+    Single-host meshes use plain device_put. On a multi-host mesh (jax.
+    distributed), a sharding is not fully addressable and device_put refuses;
+    each process instead materializes its addressable shards from its full
+    host copy via make_array_from_callback (inputs are required to be
+    identical on every process — the multi-host contract). PRNG key arrays
+    round-trip through key_data/wrap_key_data (raw uint32 is placeable)."""
+    def put(x, ns):
+        if ns.is_fully_addressable:
+            return jax.device_put(x, ns)
+        if jnp.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = np.asarray(jax.random.key_data(x))
+            arr = jax.make_array_from_callback(data.shape, ns,
+                                               lambda idx: data[idx])
+            return jax.random.wrap_key_data(arr, impl=impl)
+        xnp = np.asarray(x)
+        return jax.make_array_from_callback(xnp.shape, ns, lambda idx: xnp[idx])
+
+    return jax.tree_util.tree_map(put, tree, shardings)
+
+
 def _cast_params(params, dtype):
     """Cast dense float weights to the activation dtype. Mm8Weight subtrees pass
     through untouched (int8 codes + f32 scales)."""
@@ -273,7 +297,7 @@ class ServingModel:
 
             p_shardings = pmesh.param_shardings(mesh, self.params)
             param_specs = jax.tree_util.tree_map(lambda ns: ns.spec, p_shardings)
-            self.params = jax.device_put(self.params, p_shardings)
+            self.params = _place_tree_global(self.params, p_shardings)
             self._carry_shardings = pmesh.carry_shardings(
                 mesh, batch_sharded=batch_sharded_dp)
 
@@ -352,7 +376,7 @@ class ServingModel:
             rng=jax.random.key(self._seed),
         )
         if self._carry_shardings is not None:
-            carry = jax.device_put(carry, self._carry_shardings)
+            carry = _place_tree_global(carry, self._carry_shardings)
         return carry
 
     # ------------------------------------------------------------ step programs

@@ -84,14 +84,27 @@ class PrefixStateCache:
         return remaining, state, best
 
     async def check_and_wait_prefill(self, tokens: List[int],
-                                     cache_prefill_padding: int):
+                                     cache_prefill_padding: int,
+                                     return_claim: bool = False):
         """check() + dedup of concurrent identical prefills
-        (reference state_cache.py:85-124)."""
+        (reference state_cache.py:85-124).
+
+        return_claim=True additionally returns the trie node this caller
+        CLAIMED as prefill leader (None otherwise). The caller MUST release the
+        claim when its request ends — normally the cache-snapshot event does it
+        (awake_hang_up_prefills), but an aborted/crashed leader never caches,
+        and an unreleased claim deadlocks every later identical prompt (they
+        wait on a Condition nobody will notify; the reference leaks this the
+        same way). awake_hang_up_prefills is idempotent, so handlers call it
+        unconditionally in their finally blocks."""
+        def ret(res, claim=None):
+            return (*res, claim) if return_claim else res
+
         async with self.prefill_lock:
             remaining, state, cached_len, node = self.check(tokens,
                                                             return_trie_node=True)
             if cached_len + cache_prefill_padding == len(tokens):
-                return remaining, state, cached_len  # nothing left to prefill
+                return ret((remaining, state, cached_len))  # nothing to prefill
 
             # claim (or find) the node at the cacheable boundary
             boundary = tokens[cached_len:len(tokens) - cache_prefill_padding] \
@@ -104,7 +117,7 @@ class PrefixStateCache:
                 node = child
             if node.prefill_condition is None:
                 node.prefill_condition = asyncio.Condition()
-                return remaining, state, cached_len  # we are the leader
+                return ret((remaining, state, cached_len), claim=node)  # leader
 
         # follower: wait for the leader's snapshot
         async with node.prefill_condition:
@@ -114,9 +127,9 @@ class PrefixStateCache:
                 if cache_prefill_padding > 0 else tuple(tokens)
             cached = self._lru_get(key)
             if cached is not None:
-                return (tokens[len(tokens) - cache_prefill_padding:],
-                        cached, len(tokens) - cache_prefill_padding)
-        return remaining, state, cached_len  # leader failed; prefill ourselves
+                return ret((tokens[len(tokens) - cache_prefill_padding:],
+                            cached, len(tokens) - cache_prefill_padding))
+        return ret((remaining, state, cached_len))  # leader failed; we prefill
 
     async def awake_hang_up_prefills(self, node: _TrieNode) -> bool:
         """Wake followers waiting on a just-cached prefix

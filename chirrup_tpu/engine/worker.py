@@ -194,10 +194,21 @@ class Worker:
                 break
             prefill_count += 1
 
-            self.carry = self.model.insert_slot(self.carry, idx, task.state, task)
-            task.request_status = RequestStatus.RUNNING
+            try:
+                self.carry = self.model.insert_slot(self.carry, idx, task.state,
+                                                    task)
+                task.request_status = RequestStatus.RUNNING
+                next_input = task.prefill_tokens.pop(0)
+            except Exception:  # noqa: BLE001 — a bad task (empty prefill,
+                # malformed state/params) must fail ITSELF, with a completion
+                # event — not crash the loop and strand its stream on
+                # keep-alives forever
+                import traceback
+                traceback.print_exc()
+                task.request_status = RequestStatus.FINISHED_ABORTED
+                task.output_queue.put_nowait(("task_completed", task))
+                continue
 
-            next_input = task.prefill_tokens.pop(0)
             pad = max(task.cache_prefill_padding - 1, 0)
             if len(task.prefill_tokens) == 0:
                 phase = SlotPhase.DECODE
@@ -220,9 +231,11 @@ class Worker:
                 continue
             task = slot.task
             if task.cache_prefill and len(task.prefill_tokens) == slot.pad():
-                slot.phase = SlotPhase.ONE_PREFILL
                 self._maybe_snapshot(idx)
-                continue
+                # fall through to the normal phase decision: with padding 0 the
+                # snapshot boundary IS the end of prefill, and the slot must go
+                # to DECODE — forcing ONE_PREFILL here left an empty prefill
+                # list that the next dispatch popped from (crash)
             if len(task.prefill_tokens) == 0:
                 slot.phase = SlotPhase.DECODE
             elif len(task.prefill_tokens) < self.min_forward_seq_len:

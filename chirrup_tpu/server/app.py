@@ -126,9 +126,11 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         for s in stops:
             stop_tokens.extend(engine.tokenizer.encode(s))
 
+    claim = None  # trie node claimed as prefill leader; MUST be released
     if req.use_state_cache and state_cache is not None:
-        real_prefill_tokens, state, _cached = await state_cache.check_and_wait_prefill(
-            prefill_tokens, cache_prefill_padding)
+        real_prefill_tokens, state, _cached, claim = \
+            await state_cache.check_and_wait_prefill(
+                prefill_tokens, cache_prefill_padding, return_claim=True)
     else:
         real_prefill_tokens, state = prefill_tokens, None
 
@@ -149,10 +151,19 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         cache_prefill_padding=cache_prefill_padding,
     )
 
-    if req.stream:
-        return await _stream_chat(request, completion, req, state_cache)
-    return await _non_stream_chat(request, completion, req, state_cache,
-                                  prefill_tokens)
+    try:
+        if req.stream:
+            return await _stream_chat(request, completion, req, state_cache)
+        return await _non_stream_chat(request, completion, req, state_cache,
+                                      prefill_tokens)
+    finally:
+        if claim is not None and state_cache is not None:
+            # release the prefill-leader claim even if this request aborted or
+            # crashed before its snapshot landed — an unreleased claim
+            # deadlocks every later identical prompt (followers wait on a
+            # Condition nobody notifies). Idempotent: the normal cache event
+            # already cleared it on the happy path.
+            await state_cache.awake_hang_up_prefills(claim)
 
 
 async def _cache_event(state_cache: PrefixStateCache, payload: Dict):

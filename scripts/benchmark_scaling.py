@@ -36,6 +36,10 @@ async def one_stream(session, url, args, idx, counts):
         # benchmark extra: run to max_tokens even when the model samples a
         # stop token (synthetic models hit one within a couple of tokens)
         "ignore_eos": True,
+        # a pure decode-scaling measure: the prefix cache would otherwise let
+        # the N-backend round skip prefills the 1-backend round already did,
+        # inflating "efficiency" past 100%
+        "use_state_cache": False, "cache_prefill": False,
     }
     try:
         async with session.post(f"{url}/v1/chat/completions", json=body) as resp:

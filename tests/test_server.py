@@ -202,3 +202,52 @@ def test_cors_headers(server_setup):
 
     headers = _run(loop, go())
     assert headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_no_thinking_repeat_prompt_padding_zero(server_setup):
+    """Regression: with the :no-thinking template (cache_prefill_padding=0) a
+    repeated identical prompt resumes from the full-prefix cache snapshot.
+    Previously the SEQ->ONE transition forced ONE_PREFILL with an empty prefill
+    list at the padding-0 boundary; the next dispatch popped from it, crashed
+    the worker loop, and the admitted task's stream hung on keep-alives."""
+    loop, client = server_setup
+    body = {
+        "model": "rwkv-latest:no-thinking",
+        "messages": [{"role": "user",
+                      "content": "hello world hello world again and again"}],
+        "stream": False, "max_tokens": 3, "ignore_eos": True,
+        "temperature": 0.0,
+    }
+
+    async def go():
+        out = []
+        for _ in range(2):
+            resp = await client.post("/v1/chat/completions", json=body)
+            assert resp.status == 200
+            data = await resp.json()
+            out.append(data["choices"][0]["message"]["content"])
+        return out
+
+    first, second = _run(loop, go(), timeout=120)
+    assert first == second  # greedy + cached-prefix resume must agree
+
+
+def test_ignore_eos_runs_to_max_tokens(server_setup):
+    """ignore_eos (the vLLM benchmarking extra) disables all stop tokens."""
+    loop, client = server_setup
+    body = {
+        "model": "rwkv-latest:no-thinking",
+        "messages": [{"role": "user", "content": "count"}],
+        "stream": False, "max_tokens": 7, "ignore_eos": True,
+        "temperature": 1.0, "top_p": 1.0, "use_state_cache": False,
+        "cache_prefill": False,
+    }
+
+    async def go():
+        resp = await client.post("/v1/chat/completions", json=body)
+        data = await resp.json()
+        return data["usage"]["completion_tokens"], data["choices"][0]
+
+    n, choice = _run(loop, go(), timeout=120)
+    assert n == 7
+    assert choice["finish_reason"] == "length"

