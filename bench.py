@@ -66,13 +66,13 @@ def _emit(final: bool = True) -> None:
 
 
 def _record(metric: str, value: float, unit: str = "tok/s",
-            partial: bool = False) -> None:
+            partial: bool = False, baseline: float = BASELINE_PER_GPU_TOKS) -> None:
     _RESULT.clear()
     _RESULT.update({
         "metric": metric + (" [partial: deadline hit]" if partial else ""),
         "value": round(value, 1),
         "unit": unit,
-        "vs_baseline": round(value / BASELINE_PER_GPU_TOKS, 3),
+        "vs_baseline": round(value / baseline, 3),
     })
 
 
@@ -201,21 +201,25 @@ def _build_model(args, cfg, batch, runtime_kwargs, device=None):
     return ServingModel(cfg, params, runtime, batch_size=batch)
 
 
-def _run_worker_loop(model, batch, K, steps, deadline_check=True):
-    """Measure pipelined decode blocks (the worker's dispatch pattern).
-    Returns (n_tokens, seconds) measured, or (0, 0) if nothing completed."""
+def _run_worker_loop(models, batch, K, steps, deadline_check=True):
+    """Measure pipelined decode blocks (the worker's dispatch pattern) for one
+    or more worker models (DP simulation dispatches all models per block, then
+    syncs — the router's steady state). Returns (n_tokens_per_worker, seconds,
+    partial)."""
     import jax
     import jax.numpy as jnp
-
-    carry = model.init_carry()
 
     class _T:
         temperature, top_p, top_k = 1.0, 0.3, 0
         frequency_penalty, presence_penalty, penalty_decay = 0.5, 0.5, 0.996
         forbidden_tokens = ()
 
-    for slot in range(min(2, batch)):  # spot-configure a couple; rest default
-        carry = model.insert_slot(carry, slot, None, _T())
+    carries = []
+    for m in models:
+        carry = m.init_carry()
+        for slot in range(min(2, batch)):  # spot-configure a couple; rest default
+            carry = m.insert_slot(carry, slot, None, _T())
+        carries.append(carry)
 
     tokens = np.random.default_rng(0).integers(1, 60000, (K, batch)).astype(np.int32)
     ones = np.ones((K, batch), bool)
@@ -223,9 +227,10 @@ def _run_worker_loop(model, batch, K, steps, deadline_check=True):
     feedback[0, :] = False  # first step feeds host tokens, rest chain on device
 
     t0 = time.time()
-    carry, sampled = model.decode_block(carry, jnp.asarray(tokens),
-                                        jnp.asarray(feedback), jnp.asarray(ones),
-                                        jnp.asarray(ones))
+    for i, m in enumerate(models):  # compile (cache-shared across workers)
+        carries[i], sampled = m.decode_block(
+            carries[i], jnp.asarray(tokens), jnp.asarray(feedback),
+            jnp.asarray(ones), jnp.asarray(ones))
     jax.block_until_ready(sampled)
     print(f"# first block (compile) {time.time() - t0:.1f}s "
           f"(t+{time.time() - _START:.0f}s)", file=sys.stderr)
@@ -236,23 +241,29 @@ def _run_worker_loop(model, batch, K, steps, deadline_check=True):
     # dispatch block N+1, then read block N's tokens
     prev = None
     for _ in range(2):
-        carry, sampled = model.decode_block(carry, tokens, fb_all, ones_j, ones_j)
-    jax.block_until_ready(sampled)
+        for i, m in enumerate(models):
+            carries[i], sampled = m.decode_block(carries[i], tokens, fb_all,
+                                                 ones_j, ones_j)
+        jax.block_until_ready(sampled)
 
     nblocks = max(steps // K, 3)
     done = 0
     t0 = time.time()
     for i in range(nblocks):
-        carry, sampled = model.decode_block(carry, tokens, fb_all, ones_j, ones_j)
+        block_out = []
+        for w, m in enumerate(models):
+            carries[w], sampled = m.decode_block(carries[w], tokens, fb_all,
+                                                 ones_j, ones_j)
+            block_out.append(sampled)
         if prev is not None:
-            _ = np.asarray(jax.device_get(prev))
-        prev = sampled
+            _ = [np.asarray(jax.device_get(x)) for x in prev]
+        prev = block_out
         done = i + 1
         if deadline_check and _time_left() < 20 and done >= 2:
             print(f"# deadline approaching — stopping after {done}/{nblocks} "
                   "blocks", file=sys.stderr)
             break
-    _ = np.asarray(jax.device_get(prev))
+    _ = [np.asarray(jax.device_get(x)) for x in prev]
     return done * K, time.time() - t0, done < nblocks
 
 
@@ -275,6 +286,11 @@ def main():
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGALRM, _sig_handler)
     signal.alarm(max(int(DEADLINE_S + 25), 30))  # belt-and-braces self-kill
+
+    # provisional result from t=0: if the run dies during backend probe /
+    # param build / compile (before any measurement), the emitted line says so
+    # instead of stdout carrying no JSON at all (the round-1 failure mode)
+    _record("no measurement completed (killed during startup or compile)", 0.0)
 
     backend_ok = True
     if not args.cpu:
@@ -328,9 +344,9 @@ def main():
 
     if args.workers <= 1:
         t0 = time.time()
-        model = _build_model(args, cfg, batch, dict(runtime_kwargs))
+        models = [_build_model(args, cfg, batch, dict(runtime_kwargs))]
         print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr)
-        n_tok, dt, partial = _run_worker_loop(model, batch, K, args.steps)
+        n_tok, dt, partial = _run_worker_loop(models, batch, K, args.steps)
         agg = batch * n_tok / dt
         print(f"# step {dt / n_tok * 1000:.2f} ms | {agg:.0f} tok/s aggregate | "
               f"{n_tok / dt:.1f} tok/s/request", file=sys.stderr)
@@ -351,39 +367,19 @@ def main():
                                        dict(runtime_kwargs, seed=w), device=d))
         print(f"# {args.workers} worker models on {len(devices)} device(s)",
               file=sys.stderr)
-        # interleave blocks across workers: dispatch all, then sync all — the
-        # router's steady state where every worker always has work queued
-        carries = [m.init_carry() for m in models]
-        tokens = np.random.default_rng(0).integers(
-            1, 60000, (K, batch)).astype(np.int32)
-        fb = jnp.asarray(np.ones((K, batch), bool))
-        ones_j = jnp.asarray(np.ones((K, batch), bool))
-        for i, m in enumerate(models):  # compile (cache-shared across workers)
-            carries[i], s = m.decode_block(carries[i], tokens, fb, ones_j, ones_j)
-        jax.block_until_ready(s)
-        nblocks = max(args.steps // K, 3)
-        done = 0
-        t0 = time.time()
-        for b in range(nblocks):
-            sampled = []
-            for i, m in enumerate(models):
-                carries[i], s = m.decode_block(carries[i], tokens, fb, ones_j,
-                                               ones_j)
-                sampled.append(s)
-            jax.block_until_ready(sampled)
-            done = b + 1
-            if _time_left() < 20 and done >= 2:
-                break
-        dt = time.time() - t0
-        n_tok = done * K
+        n_tok, dt, partial = _run_worker_loop(models, batch, K, args.steps)
         agg = args.workers * batch * n_tok / dt
         print(f"# {agg:.0f} tok/s aggregate across {args.workers} workers",
               file=sys.stderr)
+        # vs_baseline stays per-GPU-equivalent: the reference host number is
+        # 4 workers x 3200 tok/s, so an N-worker aggregate divides by N x 3200
         _record(
             f"decode tokens/s/host, RWKV-7 {size} INT8, {args.workers} "
             f"DP workers x batch {batch} on {len(devices)} device(s) "
-            f"({wkv_path} + mm8 + sampling + penalties), {K}-step blocks",
-            agg, partial=done < nblocks)
+            f"({wkv_path} + mm8 + sampling + penalties), {K}-step blocks, "
+            f"vs_baseline per-worker-normalized",
+            agg, partial=partial,
+            baseline=BASELINE_PER_GPU_TOKS * args.workers)
 
     _emit()
 

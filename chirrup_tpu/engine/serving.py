@@ -65,8 +65,10 @@ def forbidden_bias_row(forbidden_ids, V) -> np.ndarray:
     bias = np.zeros((V,), np.float32)
     ids = np.asarray(list(forbidden_ids), np.int64)
     if ids.size:
-        if (ids < 0).any() or (ids >= V).any():
-            raise ValueError(f"forbidden token id out of range [0, {V})")
+        # out-of-range ids are silently ignored (reference parity: its -=1e10
+        # scatter on a (V,) row can never hit them either; raising here would
+        # abort the whole request over a harmless padded-vocab id)
+        ids = ids[(ids >= 0) & (ids < V)]
         bias[ids] = 1e10
     return bias
 
@@ -343,6 +345,8 @@ class ServingModel:
         self._decode_block = jax.jit(self._decode_block_impl, donate_argnums=(1,))
         self._prefill_step = jax.jit(self._prefill_step_impl, donate_argnums=(1,))
         self._insert_slot = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
+        self._insert_slots_batched = jax.jit(self._insert_slots_batched_impl,
+                                             donate_argnums=(0,))
         self._reset_slot = jax.jit(self._reset_slot_impl, donate_argnums=(0,))
         self._extract_slot = jax.jit(self._extract_slot_impl)
 
@@ -516,6 +520,50 @@ class ServingModel:
             last_sampled=jnp.where(onehot, -1, carry.last_sampled),
         )
 
+    LOCKSTEP_MAX_FORBIDDEN = 8
+
+    def _insert_slots_batched_impl(self, carry: BatchCarry, mask, temperature,
+                                   top_p, top_k, frequency_penalty,
+                                   presence_penalty, penalty_decay,
+                                   forbidden_ids):
+        """Admit any number of FRESH (zero-state) requests in one fixed-shape
+        program — the lockstep multi-host admission path, where every host must
+        execute the identical program sequence every loop and per-slot calls
+        would desync hosts with different admission counts.
+
+        mask: (B,) bool — rows to (re)initialize; all-False is a cheap no-op.
+        Sampling params: (B,) each (garbage where ~mask). forbidden_ids:
+        (B, LOCKSTEP_MAX_FORBIDDEN) int32, -1 padded — capped here (unlike the
+        host-built (V,) bias of insert_slot) because a (B, V) host transfer
+        per loop would dwarf the step itself."""
+        st = carry.state
+        m = mask
+        new_shift = jnp.where(m[None, None, :, None], 0.0, st.shift)
+        new_wkv = jnp.where(m[None, :, None, None],
+                            jnp.zeros((), st.wkv.dtype), st.wkv)
+        new_elapsed = jnp.where(m, 0, st.elapsed)
+        V = carry.occurrence.shape[1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
+        hit = (iota[None, None, :] == forbidden_ids[:, :, None]).any(1)  # (B, V)
+        bias = jnp.where(hit, 1e10, 0.0).astype(jnp.float32)
+
+        def set_row(vec, val):
+            return jnp.where(m, val, vec)
+
+        return dataclasses.replace(
+            carry,
+            state=RWKVState(shift=new_shift, wkv=new_wkv, elapsed=new_elapsed),
+            occurrence=jnp.where(m[:, None], 0.0, carry.occurrence),
+            presence_vec=jnp.where(m[:, None], bias, carry.presence_vec),
+            temperature=set_row(carry.temperature, temperature),
+            top_p=set_row(carry.top_p, top_p),
+            top_k=jnp.where(m, top_k, carry.top_k),
+            frequency_penalty=set_row(carry.frequency_penalty, frequency_penalty),
+            presence_penalty=set_row(carry.presence_penalty, presence_penalty),
+            penalty_decay=set_row(carry.penalty_decay, penalty_decay),
+            last_sampled=jnp.where(m, -1, carry.last_sampled),
+        )
+
     def _reset_slot_impl(self, carry: BatchCarry, slot):
         """Zero a slot's state after task completion."""
         cfg = self.config
@@ -582,6 +630,35 @@ class ServingModel:
             jnp.float32(task.top_p), jnp.int32(task.top_k),
             jnp.float32(task.frequency_penalty), jnp.float32(task.presence_penalty),
             jnp.float32(task.penalty_decay), jnp.asarray(forb))
+
+    def insert_slots_batched(self, carry, mask, tasks) -> BatchCarry:
+        """Lockstep admission: tasks[i] is the Task for each masked slot i
+        (None elsewhere). Fresh (zero-state) requests only — lockstep mode
+        runs with the prefix state cache off."""
+        self._apply_op_settings()
+        B = self.batch_size
+        Kf = self.LOCKSTEP_MAX_FORBIDDEN
+        temp = np.ones((B,), np.float32)
+        top_p = np.full((B,), 0.3, np.float32)
+        top_k = np.zeros((B,), np.int32)
+        fp = np.zeros((B,), np.float32)
+        pp = np.zeros((B,), np.float32)
+        pd = np.ones((B,), np.float32)
+        forb = np.full((B, Kf), -1, np.int32)
+        for i, task in enumerate(tasks):
+            if task is None:
+                continue
+            temp[i], top_p[i], top_k[i] = (task.temperature, task.top_p,
+                                           task.top_k)
+            fp[i], pp[i], pd[i] = (task.frequency_penalty,
+                                   task.presence_penalty, task.penalty_decay)
+            ft = [t for t in task.forbidden_tokens
+                  if 0 <= t < self.config.vocab_size][:Kf]
+            forb[i, :len(ft)] = ft
+        return self._insert_slots_batched(
+            carry, jnp.asarray(np.asarray(mask, bool)), jnp.asarray(temp),
+            jnp.asarray(top_p), jnp.asarray(top_k), jnp.asarray(fp),
+            jnp.asarray(pp), jnp.asarray(pd), jnp.asarray(forb))
 
     def reset_slot(self, carry, slot: int) -> BatchCarry:
         return self._reset_slot(carry, slot)

@@ -89,14 +89,16 @@ class PrefixStateCache:
         """check() + dedup of concurrent identical prefills
         (reference state_cache.py:85-124).
 
-        return_claim=True additionally returns the trie node this caller
-        CLAIMED as prefill leader (None otherwise). The caller MUST release the
-        claim when its request ends — normally the cache-snapshot event does it
-        (awake_hang_up_prefills), but an aborted/crashed leader never caches,
-        and an unreleased claim deadlocks every later identical prompt (they
-        wait on a Condition nobody will notify; the reference leaks this the
-        same way). awake_hang_up_prefills is idempotent, so handlers call it
-        unconditionally in their finally blocks."""
+        return_claim=True additionally returns a (node, condition) pair this
+        caller CLAIMED as prefill leader (None otherwise). The caller MUST
+        release the claim via release_claim() when its request ends — normally
+        the cache-snapshot event does it (awake_hang_up_prefills), but an
+        aborted/crashed leader never caches, and an unreleased claim deadlocks
+        every later identical prompt (they wait on a Condition nobody will
+        notify; the reference leaks this the same way). release_claim compares
+        the Condition identity, so a slow leader finishing AFTER its snapshot
+        already released the node cannot clobber a newer leader's claim on the
+        same node."""
         def ret(res, claim=None):
             return (*res, claim) if return_claim else res
 
@@ -117,7 +119,8 @@ class PrefixStateCache:
                 node = child
             if node.prefill_condition is None:
                 node.prefill_condition = asyncio.Condition()
-                return ret((remaining, state, cached_len), claim=node)  # leader
+                return ret((remaining, state, cached_len),
+                           claim=(node, node.prefill_condition))  # leader
 
         # follower: wait for the leader's snapshot
         async with node.prefill_condition:
@@ -130,6 +133,20 @@ class PrefixStateCache:
                 return ret((tokens[len(tokens) - cache_prefill_padding:],
                             cached, len(tokens) - cache_prefill_padding))
         return ret((remaining, state, cached_len))  # leader failed; we prefill
+
+    async def release_claim(self, claim) -> bool:
+        """Release a leader claim from check_and_wait_prefill(return_claim=True)
+        if it is still installed. claim: (node, condition). No-op when the
+        node's condition is None (cache event already released it) or a
+        DIFFERENT Condition (a newer leader re-claimed the node after this
+        claimant's release — clearing that one would wake its followers
+        prematurely into a thundering herd)."""
+        if claim is None:
+            return False
+        node, condition = claim
+        if node.prefill_condition is not condition:
+            return False
+        return await self.awake_hang_up_prefills(node)
 
     async def awake_hang_up_prefills(self, node: _TrieNode) -> bool:
         """Wake followers waiting on a just-cached prefix

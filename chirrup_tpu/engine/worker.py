@@ -82,7 +82,9 @@ class Worker:
                  min_forward_seq_len: int = 10,
                  decode_prefill_ratio: int = 5,
                  decode_block_size: Optional[int] = None,
-                 idle_sleep: float = 0.05):
+                 idle_sleep: float = 0.05,
+                 lockstep: bool = False,
+                 slot_range: Optional[Tuple[int, int]] = None):
         self.worker_id = worker_id
         self._model_factory = model_factory
         self.task_queue = task_queue
@@ -95,6 +97,17 @@ class Worker:
         self.decode_prefill_ratio = decode_prefill_ratio
         self.decode_block_size = decode_block_size  # None = auto (device-dependent)
         self.idle_sleep = idle_sleep
+        # Lockstep multi-host mode: this worker owns only slots
+        # [slot_range[0], slot_range[1]) of the GLOBAL batch (its host's dp
+        # shard) and executes a FIXED program sequence every loop — batched
+        # admission + decode block (+ periodic prefill), all no-op-safe when
+        # idle — so every host issues identical SPMD launches and replicated
+        # carry leaves (the sampler rng above all) stay bit-identical across
+        # processes without any cross-host plan exchange. Requires: fresh
+        # (zero-state) admissions only (state cache off), no cache snapshots,
+        # no return_logits. See docs/ARCHITECTURE.md §multi-host.
+        self.lockstep = lockstep
+        self.slot_range = slot_range or (0, batch_size)
 
         self.slots: List[SlotData] = [SlotData() for _ in range(batch_size)]
         self.model: Optional[ServingModel] = None
@@ -155,7 +168,11 @@ class Worker:
         slot = self.slots[idx]
         task = slot.task
         task.output_queue.put_nowait(("task_completed", task))
-        self.carry = self.model.reset_slot(self.carry, idx)
+        if not self.lockstep:
+            # lockstep: per-slot programs would desync hosts; the slot's state
+            # is zeroed by the (always-issued) batched insert when reused, and
+            # a finished-but-unreused slot is simply masked out of every step
+            self.carry = self.model.reset_slot(self.carry, idx)
         self.slots[idx] = SlotData()
 
     def _snapshot_slot(self, idx: int):
@@ -170,6 +187,8 @@ class Worker:
         slot.prefill_cached = True
 
     def _maybe_snapshot(self, idx: int):
+        if self.lockstep:
+            return  # snapshots are per-slot extract programs (host-divergent)
         slot = self.slots[idx]
         task = slot.task
         if (task.cache_prefill and not slot.prefill_cached
@@ -181,9 +200,17 @@ class Worker:
     def _fill_slots(self):
         """Admit queued tasks into empty slots (reference _fill_task_pool,
         worker.py:570-669). New admissions + in-flight bulk prefills are capped at
-        max_prefill_count so prefill never starves decode."""
+        max_prefill_count so prefill never starves decode.
+
+        Lockstep mode: only slots in self.slot_range are this host's; admitted
+        tasks are gathered and inserted in ONE batched program (always called,
+        even with an empty mask) so every host runs the same launch sequence."""
+        lo, hi = self.slot_range
+        batch_mask = np.zeros((self.batch_size,), bool)
+        batch_tasks: List[Optional[Task]] = [None] * self.batch_size
         prefill_count = sum(1 for s in self.slots if s.phase == SlotPhase.SEQ_PREFILL)
-        for idx, slot in enumerate(self.slots):
+        for idx in range(lo, hi):
+            slot = self.slots[idx]
             if prefill_count >= self.max_prefill_count:
                 break
             if slot.phase != SlotPhase.EMPTY:
@@ -194,9 +221,21 @@ class Worker:
                 break
             prefill_count += 1
 
+            if self.lockstep and (task.state is not None or task.return_logits):
+                # lockstep cannot resume from snapshots (the state payload
+                # would have to ride the fixed per-loop program) or return
+                # per-step logits (global-array fetch); fail loudly
+                task.request_status = RequestStatus.FINISHED_ABORTED
+                task.output_queue.put_nowait(("task_completed", task))
+                continue
+
             try:
-                self.carry = self.model.insert_slot(self.carry, idx, task.state,
-                                                    task)
+                if self.lockstep:
+                    batch_mask[idx] = True
+                    batch_tasks[idx] = task
+                else:
+                    self.carry = self.model.insert_slot(self.carry, idx,
+                                                        task.state, task)
                 task.request_status = RequestStatus.RUNNING
                 next_input = task.prefill_tokens.pop(0)
             except Exception:  # noqa: BLE001 — a bad task (empty prefill,
@@ -205,6 +244,8 @@ class Worker:
                 # keep-alives forever
                 import traceback
                 traceback.print_exc()
+                batch_mask[idx] = False
+                batch_tasks[idx] = None
                 task.request_status = RequestStatus.FINISHED_ABORTED
                 task.output_queue.put_nowait(("task_completed", task))
                 continue
@@ -220,6 +261,10 @@ class Worker:
             self.slots[idx] = SlotData(
                 task=task, phase=phase, next_input=next_input,
                 decoder=StreamingDecoder(self.tokenizer))
+        if self.lockstep:
+            # ALWAYS issued (fixed sequence); also zeroes freed slots' state
+            self.carry = self.model.insert_slots_batched(
+                self.carry, batch_mask, batch_tasks)
 
     # ----------------------------------------------------------- transitions
 
@@ -248,6 +293,8 @@ class Worker:
         compile. Falls to 1 when any slot needs per-step host involvement: a
         pending cache-snapshot boundary within K steps, or return_logits."""
         K = self.decode_block_size
+        if self.lockstep:
+            return max(K, 1)  # FIXED size: hosts must agree without talking
         if K <= 1:
             return 1
         for slot in self.slots:
@@ -372,7 +419,7 @@ class Worker:
         self._pending = None
         if pending is None:
             return
-        sampled_np = np.asarray(jax.device_get(pending.sampled))
+        sampled_np = self._fetch_sampled(pending.sampled)
         if sampled_np.ndim == 1:
             sampled_np = sampled_np[None, :]
         for idx, task_id in pending.decode_slots:
@@ -403,6 +450,18 @@ class Worker:
                     task.request_status = RequestStatus.FINISHED_LENGTH_CAPPED
                     break
 
+    def _fetch_sampled(self, sampled) -> np.ndarray:
+        """Sampled tokens to host. On a multi-PROCESS mesh the global array is
+        not fully addressable; read only this host's shards (our slot_range
+        rows live on our devices by construction of the dp sharding) and leave
+        other hosts' rows as -1 (we own no tasks there)."""
+        if getattr(sampled, "is_fully_addressable", True):
+            return np.asarray(jax.device_get(sampled))
+        out = np.full(sampled.shape, -1, np.int32)
+        for shard in sampled.addressable_shards:
+            out[shard.index] = np.asarray(shard.data)
+        return out
+
     def _run_prefill_step(self):
         """One ragged chunk for every SEQ_PREFILL slot (reference _run_forward_seq,
         worker.py:744-776, without the global min-length coupling)."""
@@ -426,8 +485,9 @@ class Worker:
             tokens[idx, :n] = chunk
             lengths[idx] = n
             fed[idx] = chunk
-        if not fed:
+        if not fed and not self.lockstep:
             return 0
+        # lockstep: the (all-zero-lengths) call still runs — fixed sequence
         self.carry = self.model.prefill_step(self.carry, tokens, lengths)
         return len(fed)
 
@@ -456,12 +516,15 @@ class Worker:
         n_active = sum(1 for s in self.slots
                        if s.phase in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL))
         n_seq = sum(1 for s in self.slots if s.phase == SlotPhase.SEQ_PREFILL)
-        if n_active == 0 and n_seq == 0:
+        if n_active == 0 and n_seq == 0 and not self.lockstep:
             self._process_pending()  # drain the last in-flight step before idling
             return False
 
         decode_count = one_prefill_count = seq_count = 0
-        if n_active > 0:
+        if n_active > 0 or self.lockstep:
+            # lockstep dispatches the (possibly all-masked) block regardless:
+            # the fixed sequence keeps replicated carry leaves (rng) identical
+            # on every host
             K = self._choose_block_size()
             if K > 1:
                 total, decode_count = self._dispatch_decode_block(K)
@@ -472,7 +535,7 @@ class Worker:
         else:
             self._seq_countdown = 0
 
-        if self._seq_countdown < 1 and n_seq > 0:
+        if self._seq_countdown < 1 and (n_seq > 0 or self.lockstep):
             seq_count = self._run_prefill_step()
             self._seq_countdown = max(1, self.decode_prefill_ratio)
 

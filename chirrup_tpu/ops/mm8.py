@@ -126,29 +126,34 @@ def _int8_core_pallas_a8(xs, q):
 
     xs8, s = quantize_activations(xs)
     return mm8_core_pallas_a8(xs8, q,
-                              interpret=_INTERPRET).astype(jnp.float32) * s
+                              interpret=_interpret()).astype(jnp.float32) * s
 
 
-# trace-time default: "auto" | "pallas" | "pallas_a8" | "xla" | "xla_a8"
-_DEFAULT_CORE = "auto"
-# trace-time interpret-mode flag for the Pallas kernels (CPU-mesh parity tests
-# drive the REAL serving dispatch with interpret=True)
-_INTERPRET = False
+# Trace-time dispatch settings. THREAD-LOCAL: jit traces run on the calling
+# thread, and each engine worker thread drives its own ServingModel (possibly
+# with different core/interpret settings); process-wide globals would let one
+# thread's settings leak into another's lazy first trace.
+import threading
+
+_SETTINGS = threading.local()
 
 
 def set_default_core(name: str) -> None:
-    """Select the inner int8 GEMM used when mm8_matmul gets core=None. Resolved at
-    trace time; ServingModel sets it from RuntimeConfig.mm8_core before tracing."""
-    global _DEFAULT_CORE
+    """Select the inner int8 GEMM used when mm8_matmul gets core=None. Resolved
+    at trace time on the calling thread; ServingModel re-applies it from
+    RuntimeConfig.mm8_core before every public call."""
     assert name in ("auto", "pallas", "pallas_a8", "xla", "xla_a8"), name
-    _DEFAULT_CORE = name
+    _SETTINGS.core = name
 
 
 def set_interpret(flag: bool) -> None:
-    """Run the Pallas mm8 kernels in interpret mode (trace-time, like
-    set_default_core). Lets CPU tests exercise the exact serving dispatch."""
-    global _INTERPRET
-    _INTERPRET = bool(flag)
+    """Run the Pallas mm8 kernels in interpret mode (trace-time, thread-local,
+    like set_default_core). Lets CPU tests exercise the exact serving dispatch."""
+    _SETTINGS.interpret = bool(flag)
+
+
+def _interpret() -> bool:
+    return getattr(_SETTINGS, "interpret", False)
 
 
 def _resolved_core() -> str:
@@ -156,8 +161,9 @@ def _resolved_core() -> str:
     Pallas kernel (native int8 MXU ~1.5x the bf16 dot at serving shapes, same
     1 byte/weight HBM); off-TPU the plain XLA dot. The exact w8a16 scheme stays
     available as mm8_core="pallas"."""
-    if _DEFAULT_CORE != "auto":
-        return _DEFAULT_CORE
+    core = getattr(_SETTINGS, "core", "auto")
+    if core != "auto":
+        return core
     return ("pallas_a8" if jax.default_backend() in ("tpu", "axon") else "xla")
 
 
@@ -173,7 +179,7 @@ def _int8_core_auto(xs, q):
         if mm8_core_supported(B, K, M):
             if core == "pallas_a8":
                 return _int8_core_pallas_a8(xs, q)
-            return mm8_core_pallas(xs, q, interpret=_INTERPRET)
+            return mm8_core_pallas(xs, q, interpret=_interpret())
         if core == "pallas_a8":
             return _int8_core_xla_a8(xs, q)
     return _int8_core_xla(xs, q)
@@ -255,7 +261,7 @@ def mm8_multi_matmul(x, xx, mu, w: Mm8MultiWeight, li):
                 v, li, 0, keepdims=False)
             y = mm8_fused_a8_multi_stacked(
                 x2, xx.reshape(-1, K), jnp.asarray(mu), pick(w.mx), pick(w.rx),
-                pick(w.my), pick(w.ry), w.q, li, interpret=_INTERPRET)
+                pick(w.my), pick(w.ry), w.q, li, interpret=_interpret())
             return y.reshape(lead + (Mtot,))
     outs = []
     for m in range(n):
@@ -313,7 +319,7 @@ def mm8_ffn_matmul(x, wk, wv):
             y = mm8_fused_a8_ffn_stacked(
                 x2, pk("mx"), pk("rx"), pk("my"), pk("ry"), wk.w.q,
                 pv("mx"), pv("rx"), pv("my"), pv("ry"), wv.w.q, wk.li,
-                interpret=_INTERPRET)
+                interpret=_interpret())
             return y.reshape(lead + (M,))
     kk = mm8_matmul(x, wk, activation="relu2")
     return mm8_matmul(kk, wv)
@@ -349,13 +355,13 @@ def mm8_matmul(x, w, *, core=None, activation=None):
                 y = mm8_fused_a8_stacked(
                     x2, pick(w.w.mx), pick(w.w.rx), pick(w.w.my),
                     pick(w.w.ry), w.w.q, w.li, activation=activation,
-                    interpret=_INTERPRET)
+                    interpret=_interpret())
                 return y.reshape(lead + (Mo,))
         else:
             Mo = w.q.shape[1]
             if mm8_core_supported(B, K, Mo):
                 y = mm8_fused_a8(x2, w.mx, w.rx, w.my, w.ry, w.q,
-                                 activation=activation, interpret=_INTERPRET)
+                                 activation=activation, interpret=_interpret())
                 return y.reshape(lead + (Mo,))
 
     if isinstance(w, LayerIndexed):
@@ -382,10 +388,10 @@ def mm8_matmul(x, w, *, core=None, activation=None):
                     if core_name == "pallas_a8":
                         xs8, s = quantize_activations(xs)
                         acc = mm8_core_pallas_a8_stacked(xs8, q3, li,
-                                                         interpret=_INTERPRET)
+                                                         interpret=_interpret())
                         return acc.astype(jnp.float32) * s
                     return mm8_core_pallas_stacked(xs, q3, li,
-                                                   interpret=_INTERPRET)
+                                                   interpret=_interpret())
                 if core_name == "pallas_a8":
                     return _int8_core_xla_a8(
                         xs,

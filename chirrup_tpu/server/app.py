@@ -126,7 +126,7 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         for s in stops:
             stop_tokens.extend(engine.tokenizer.encode(s))
 
-    claim = None  # trie node claimed as prefill leader; MUST be released
+    claim = None  # prefill-leader claim (node, condition); MUST be released
     if req.use_state_cache and state_cache is not None:
         real_prefill_tokens, state, _cached, claim = \
             await state_cache.check_and_wait_prefill(
@@ -134,36 +134,36 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
     else:
         real_prefill_tokens, state = prefill_tokens, None
 
-    completion = engine.completion(
-        prompt_str=prompt,
-        prefill_tokens=list(real_prefill_tokens),
-        state=state,
-        temperature=req.temperature,
-        top_p=req.top_p,
-        max_tokens=req.max_tokens,
-        presence_penalty=req.presence_penalty,
-        frequency_penalty=req.frequency_penalty,
-        penalty_decay=req.penalty_decay,
-        stop_tokens=(set() if req.ignore_eos
-                     else set(DEFAULT_STOP_TOKENS) | set(stop_tokens)),
-        cache_prefill=config.state_cache_size > 0 and req.cache_prefill
-        and state_cache is not None,
-        cache_prefill_padding=cache_prefill_padding,
-    )
-
+    # EVERYTHING after the claim — including completion construction, which can
+    # raise (engine shut down mid-request) — sits inside the try so the claim
+    # is always released; a leaked claim deadlocks every later identical prompt
+    # (followers wait on a Condition nobody notifies)
     try:
+        completion = engine.completion(
+            prompt_str=prompt,
+            prefill_tokens=list(real_prefill_tokens),
+            state=state,
+            temperature=req.temperature,
+            top_p=req.top_p,
+            max_tokens=req.max_tokens,
+            presence_penalty=req.presence_penalty,
+            frequency_penalty=req.frequency_penalty,
+            penalty_decay=req.penalty_decay,
+            stop_tokens=(set() if req.ignore_eos
+                         else set(DEFAULT_STOP_TOKENS) | set(stop_tokens)),
+            cache_prefill=config.state_cache_size > 0 and req.cache_prefill
+            and state_cache is not None,
+            cache_prefill_padding=cache_prefill_padding,
+        )
         if req.stream:
             return await _stream_chat(request, completion, req, state_cache)
         return await _non_stream_chat(request, completion, req, state_cache,
                                       prefill_tokens)
     finally:
         if claim is not None and state_cache is not None:
-            # release the prefill-leader claim even if this request aborted or
-            # crashed before its snapshot landed — an unreleased claim
-            # deadlocks every later identical prompt (followers wait on a
-            # Condition nobody notifies). Idempotent: the normal cache event
-            # already cleared it on the happy path.
-            await state_cache.awake_hang_up_prefills(claim)
+            # no-op on the happy path (the cache event already released it)
+            # and when a newer leader holds the node (condition identity check)
+            await state_cache.release_claim(claim)
 
 
 async def _cache_event(state_cache: PrefixStateCache, payload: Dict):

@@ -126,6 +126,80 @@ def child(pid: int):
     with open(f"/tmp/dryrun_multihost_p{pid}.out", "w") as f:
         f.write(repr(outs))
 
+    # ---- phase 2: the REAL continuous-batching Worker in LOCKSTEP mode ----
+    # Each process runs its own Worker over the SAME global-mesh model, owning
+    # its dp shard's slot rows, fed by a host-local queue with different
+    # requests per host. The fixed per-loop program sequence (batched insert +
+    # decode block + periodic prefill, all no-op-safe) keeps every host's SPMD
+    # launches identical — required: the sampler's fallback reduction crosses
+    # the dp axis, a real DCN collective, so divergent sequences would hang.
+    import queue as _q
+
+    from chirrup_tpu.engine.structures import Task
+    from chirrup_tpu.engine.worker import Worker
+
+    B_loc = 8 // N_PROC
+    lo, hi = pid * B_loc, (pid + 1) * B_loc
+
+    class _Sink:
+        def __init__(self):
+            self.events = []
+
+        def put_nowait(self, item):
+            self.events.append(item)
+
+    task_queue: "_q.Queue" = _q.Queue()
+    sinks = []
+    n_req = 2
+    for r in range(n_req):
+        sink = _Sink()
+        sinks.append(sink)
+        task_queue.put(Task(
+            output_queue=sink, task_event_queue=_q.Queue(),
+            prompt_str="", prefill_tokens=[3 + pid * 31 + r, 7 + r, 11],
+            state=None, temperature=0.0, max_tokens=4, stop_tokens=[],
+            presence_penalty=0.0, frequency_penalty=0.0))
+
+    worker = Worker(
+        worker_id=f"lockstep_p{pid}",
+        model_factory=lambda: (model, None),
+        task_queue=task_queue,
+        master_event_queue=_q.Queue(),
+        worker_event_queue=None,
+        batch_size=8, min_forward_seq_len=10, decode_block_size=2,
+        lockstep=True, slot_range=(lo, hi))
+    worker.model, worker.tokenizer = model, None
+    worker.carry = carry
+    # lockstep workers never use the tokenizer (StreamingDecoder) in this
+    # drive? They do — decoder.push on sampled tokens. Give them a stub.
+
+    class _StubDecoder:
+        def push(self, tok):
+            return ""
+
+    import chirrup_tpu.engine.worker as worker_mod
+
+    real_decoder = worker_mod.StreamingDecoder
+    worker_mod.StreamingDecoder = lambda tok: _StubDecoder()
+    try:
+        # FIXED loop count on every host: the decode block crosses the dp axis
+        # (sampler fallback reduction), so a host that stops early would leave
+        # the others hanging at the collective. This is exactly the lockstep
+        # operating contract: hosts agree on cadence, not on content.
+        for _ in range(30):
+            worker.run_once()
+        assert all(any(e[0] == "task_completed" for e in s.events)
+                   for s in sinks), (
+            f"[p{pid}] lockstep worker did not finish: "
+            f"{[[e[0] for e in s.events] for s in sinks]}")
+    finally:
+        worker_mod.StreamingDecoder = real_decoder
+
+    gen = [[e[1][0] for e in s.events if e[0] == "token_generated"]
+           for s in sinks]
+    assert all(len(g) == 4 for g in gen), gen
+    print(f"[p{pid}] lockstep worker OK: generated {gen}", flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()

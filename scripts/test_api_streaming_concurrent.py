@@ -23,13 +23,17 @@ async def one_stream(session, url, args, stats, idx):
                       "content": f"Write a story about place number {idx}."}],
         "stream": True, "max_tokens": args.max_tokens,
         "temperature": 1.0, "top_p": 0.5,
+        **({"ignore_eos": True} if args.ignore_eos else {}),
     }
     tpot = deque(maxlen=5)  # rolling mean of last 5 inter-token deltas
     last = None
     n = 0
     try:
         async with session.post(f"{url}/v1/chat/completions", json=body) as resp:
-            async for raw in resp.content:
+            while True:
+                raw = await resp.content.readline()
+                if not raw:
+                    break
                 line = raw.decode().strip()
                 if not line.startswith("data: ") or line == "data: [DONE]":
                     continue
@@ -87,4 +91,6 @@ if __name__ == "__main__":
     ap.add_argument("--url", default="http://127.0.0.1:8000")
     ap.add_argument("--concurrency", type=int, default=64)
     ap.add_argument("--max_tokens", type=int, default=128)
+    ap.add_argument("--ignore_eos", action="store_true",
+                    help="disable stop tokens (synthetic-model load tests)")
     asyncio.run(main(ap.parse_args()))

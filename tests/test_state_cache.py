@@ -151,13 +151,25 @@ def test_abandoned_leader_releases_followers():
         assert not task.done()
 
         # the leader dies WITHOUT caching; its handler releases the claim
-        await c.awake_hang_up_prefills(claim)
+        assert await c.release_claim(claim) is True
         rem2, st2, n2, claim2 = await task
         assert st2 is None and list(rem2) == tokens  # prefill ourselves
-        # the follower can now claim leadership for a retry
-        assert claim2 is not None or True
+        # a woken follower does NOT re-claim (it proceeds leaderless; the next
+        # NEW request for this prefix becomes the leader)
+        assert claim2 is None
 
         # releasing twice is harmless (idempotent)
-        assert await c.awake_hang_up_prefills(claim) is False
+        assert await c.release_claim(claim) is False
+
+        # a STALE claim must not clobber a newer leader on the same node:
+        # new request claims the node after the release above...
+        rem3, st3, n3, claim3 = await c.check_and_wait_prefill(
+            list(tokens), 0, return_claim=True)
+        assert claim3 is not None
+        # ...the old (already-released) claim is a no-op...
+        assert await c.release_claim(claim) is False
+        assert claim3[0].prefill_condition is claim3[1]  # B's claim intact
+        # ...and the new claimant releases its own fine
+        assert await c.release_claim(claim3) is True
 
     asyncio.run(asyncio.wait_for(go(), timeout=60))
