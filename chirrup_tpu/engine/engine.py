@@ -90,8 +90,17 @@ def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
                 cfg, params = loader.load_model(model_config.model_path,
                                                 vocab_size=model_config.vocab_size)
         mesh = None
+        batch_sharded_dp = False
         tp = getattr(model_config, "tensor_parallel", 1) or 1
-        if tp > 1:
+        if getattr(model_config, "lockstep", False):
+            # multi-host SPMD serving: dp spans the jax.distributed processes,
+            # the batch shards over dp, tp spans each process's local devices
+            from chirrup_tpu.parallel.mesh import make_mesh
+
+            dp = jax.process_count()
+            mesh = make_mesh(tp=tp, dp=dp, devices=mesh_devices)
+            batch_sharded_dp = dp > 1
+        elif tp > 1:
             from chirrup_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(tp=tp, devices=mesh_devices)
@@ -104,7 +113,8 @@ def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
             runtime = dataclasses.replace(runtime, use_pallas_wkv=False)
         model = ServingModel(cfg, params, runtime, batch_size,
                              prefill_chunk=model_config.prefill_chunk,
-                             mesh=mesh, seed=seed)
+                             mesh=mesh, batch_sharded_dp=batch_sharded_dp,
+                             seed=seed)
         tokenizer = WorldTokenizer(model_config.vocab_path)
         return model, tokenizer
 
@@ -151,8 +161,24 @@ class AsyncEngineCore:
         # groups when enough chips exist (else they overlap, which still
         # compiles/runs — the single-chip dev case)
         tp = getattr(model_config, "tensor_parallel", 1) or 1
+        lockstep = getattr(model_config, "lockstep", False)
+        slot_range = None
+        if lockstep:
+            import jax
+
+            if worker_num != 1:
+                raise ValueError("lockstep serving uses exactly one worker "
+                                 "per host (the host's dp shard)")
+            # this host owns its dp shard's slot rows of the GLOBAL batch
+            n_proc = jax.process_count()
+            if batch_size % max(n_proc, 1):
+                raise ValueError(f"batch_size {batch_size} must divide by "
+                                 f"process count {n_proc}")
+            b_loc = batch_size // max(n_proc, 1)
+            pid = jax.process_index()
+            slot_range = (pid * b_loc, (pid + 1) * b_loc)
         devices = None
-        if model_factory is None and (worker_num > 1 or tp > 1):
+        if model_factory is None and not lockstep and (worker_num > 1 or tp > 1):
             import jax
 
             devices = jax.devices()
@@ -183,6 +209,8 @@ class AsyncEngineCore:
                 worker_event_queue=self.worker_event_queue,
                 batch_size=batch_size,
                 decode_block_size=decode_block_size,
+                lockstep=lockstep,
+                slot_range=slot_range,
             )
             self.workers.append(worker)
             self.worker_threads.append(start_worker_thread(worker))

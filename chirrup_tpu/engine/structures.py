@@ -146,5 +146,11 @@ class ModelLoadConfig:
     # tensor parallelism: >1 shards the model (head-parallel WKV, Megatron
     # col/row mm8) over a tp-axis mesh built inside the worker's model factory
     tensor_parallel: int = 1
+    # lockstep multi-host SPMD serving: the mesh gains a dp axis spanning the
+    # jax.distributed processes, the batch shards over it, and the worker runs
+    # the fixed lockstep program sequence over its own slot rows
+    # (docs/ARCHITECTURE.md §multi-host). Requires jax.distributed.initialize
+    # before engine init on every host; implies state cache off.
+    lockstep: bool = False
     # test hook: synthetic model instead of a checkpoint file
     synthetic_config: Optional[Dict[str, int]] = None

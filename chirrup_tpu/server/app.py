@@ -11,6 +11,7 @@ FastAPI/uvicorn (not available in this image); handlers are plain asyncio.
 from __future__ import annotations
 
 import asyncio
+import dataclasses
 import json
 import os
 import time
@@ -438,6 +439,7 @@ def _model_config_from_server_config(config: ServerConfig) -> ModelLoadConfig:
         activation_dtype=config.activation_dtype,
         prefill_chunk=config.prefill_chunk,
         tensor_parallel=config.tensor_parallel,
+        lockstep=bool(config.lockstep),
         synthetic_config=synthetic,
     )
 
@@ -447,6 +449,10 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
                model_factory=None) -> web.Application:
     """Build the aiohttp application. Pass a pre-initialized engine for tests;
     otherwise the engine is created and loaded on startup."""
+    if config.lockstep and config.state_cache_size > 0:
+        # lockstep admissions are zero-state; a populated cache would hand the
+        # engine resume-states its workers must reject
+        config = dataclasses.replace(config, state_cache_size=0)
     app = web.Application(middlewares=[cors_and_errors_middleware])
     app["config"] = config
     app["engine"] = engine

@@ -30,6 +30,11 @@ class ServerConfig:
     activation_dtype: str = "bfloat16"
     prefill_chunk: int = 64
     tensor_parallel: int = 1
+    # 0/1 flag (int keeps the argparse/env auto-parser simple): lockstep
+    # multi-host SPMD serving — requires jax.distributed.initialize on every
+    # host before startup; forces the state cache off (lockstep admissions are
+    # zero-state)
+    lockstep: int = 0
     # test/dev hook: "L,C" builds a synthetic model of that size
     synthetic_model: str = ""
 

@@ -130,3 +130,30 @@ def test_server_config_reaches_model_load_config():
     mc = _model_config_from_server_config(sc)
     assert isinstance(mc, ModelLoadConfig)
     assert mc.tensor_parallel == 4
+
+
+def test_lockstep_engine_single_process(vocab_path, cpu_devices):
+    """Lockstep mode through the public engine API on one process (dp=1): the
+    worker runs the fixed program sequence (batched admission + always-on
+    decode blocks + periodic prefill) and still serves correct completions.
+    The 2-process version runs in scripts/dryrun_multihost.py."""
+    cfg = synthetic_model_config(
+        vocab_path, tensor_parallel=2, lockstep=True,
+        synthetic_config=dict(n_layer=2, n_embd=128, vocab_size=320,
+                              d_decay_lora=32, d_iclr_lora=32, d_v_lora=16,
+                              d_gate_lora=32))
+    loop, engine = _init_engine(cfg, batch_size=4)
+    try:
+        w = engine.workers[0]
+        assert w.lockstep and w.slot_range == (0, 4)
+        assert w.model.mesh is not None
+
+        tokens = _complete(loop, engine, prompt="hello world the User")
+        assert 1 <= len(tokens) <= 4
+
+        # a second request (exercises slot reuse through the batched insert,
+        # which zeroes the freed slot's state)
+        tokens2 = _complete(loop, engine, prompt="hello world the User")
+        assert tokens2 == tokens  # greedy + fresh zero state => identical
+    finally:
+        _shutdown(loop, engine)
