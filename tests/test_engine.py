@@ -262,3 +262,42 @@ def test_forbidden_tokens_unbounded(engine_setup):
     tokens = loop.run_until_complete(asyncio.wait_for(go(), 120))
     assert len(tokens) >= 1
     assert not (set(tokens) & set(forbidden))
+
+
+def test_long_prompt_chunked_prefill(engine_setup, vocab_path):
+    """A prompt far longer than prefill_chunk (8 here) exercises many SEQ
+    chunks + the ONE_PREFILL tail + decode, and must equal the raw model's
+    greedy output (the reference handles long context the same way: chunked
+    streaming prefill against O(1) state, worker.py:744-776)."""
+    loop, engine = engine_setup
+    prompt = " ".join(["hello world the User says hello to the Assistant"] * 12)
+
+    async def go():
+        completion = engine.completion(
+            prompt, temperature=0.0, max_tokens=4,
+            presence_penalty=0.0, frequency_penalty=0.0, stop_tokens=[0])
+        return [e[1] async for e in completion if e[0] == "token"]
+
+    engine_tokens = loop.run_until_complete(asyncio.wait_for(go(), 180))
+
+    from chirrup_tpu.models.config import RWKV7Config
+    from chirrup_tpu.models.loader import synthetic_params
+    from chirrup_tpu.models import rwkv7 as m
+    from tests.engine_fixtures import VOCAB_SIZE
+
+    cfg = RWKV7Config(n_layer=2, n_embd=128, vocab_size=VOCAB_SIZE,
+                      d_decay_lora=32, d_iclr_lora=32, d_v_lora=16, d_gate_lora=32)
+    params = synthetic_params(cfg, seed=0)
+    ids = engine.tokenizer.encode(prompt)
+    assert len(ids) > 80  # really exercises many chunks
+    state = m.init_state(cfg, 1)
+    state = m.forward_chunk(params, jnp.asarray([ids[:-1]], jnp.int32), state)
+    cur = ids[-1]
+    expected = []
+    for _ in range(4):
+        logits, state = m.forward_step(params, jnp.asarray([cur], jnp.int32), state)
+        cur = int(jnp.argmax(logits[0]))
+        if cur == 0:
+            break
+        expected.append(cur)
+    assert engine_tokens == expected
