@@ -174,6 +174,15 @@ class AsyncEngineCore:
             if batch_size % max(n_proc, 1):
                 raise ValueError(f"batch_size {batch_size} must divide by "
                                  f"process count {n_proc}")
+            if n_proc > 1 and tp != jax.local_device_count():
+                # the dp-row -> process mapping relies on jax.devices() being
+                # grouped by process and each dp row being exactly one
+                # process's chips; any other tp scatters a host's carry rows
+                # onto other hosts' devices and its worker can never read them
+                raise ValueError(
+                    f"lockstep across {n_proc} processes requires "
+                    f"tensor_parallel == local device count "
+                    f"({jax.local_device_count()}), got {tp}")
             b_loc = batch_size // max(n_proc, 1)
             pid = jax.process_index()
             slot_range = (pid * b_loc, (pid + 1) * b_loc)

@@ -273,6 +273,7 @@ class ServingModel:
             self._carry_shardings = None
             self._fwd_step_sharded = None
             self._fwd_chunk_sharded = None
+            self._stop_votes_sharding = None
         else:
             # Explicit-SPMD serving step: the WHOLE forward runs inside ONE
             # shard_map over the tp axis — Megatron column-parallel R/K/V/FFN-K
@@ -335,6 +336,13 @@ class ServingModel:
                 in_specs=(param_specs, P(bax, None), st_shift, st_wkv, vec, vec),
                 out_specs=(st_shift, st_wkv, vec))
             self._wkv_fn = raw_wkv  # used only inside the shard_map
+            # shutdown votes MUST be dp-sharded: each host's array holds only
+            # its own rows' votes; if GSPMD treated the host-local np input as
+            # replicated, hosts would observe DIVERGENT "replicated" sums (the
+            # voter sees 1, others 0) and exit at different block counts —
+            # wedging the stragglers in the next dp collective
+            from jax.sharding import NamedSharding
+            self._stop_votes_sharding = NamedSharding(mesh, P(bax))
 
         self._no_penalty_ids = jnp.asarray(sorted(NO_PENALTY_TOKEN_IDS), jnp.int32)
         self._seed = seed
@@ -443,7 +451,7 @@ class ServingModel:
         return carry, sampled, raw_logits
 
     def _decode_block_impl(self, params, carry: BatchCarry, host_tokens,
-                           feedback_mask, active_mask, decode_mask):
+                           feedback_mask, active_mask, decode_mask, stop_votes):
         """K decode steps in ONE dispatch (lax.scan over the single-step body).
 
         All per-step inputs are (K, B): host tokens for prefill feeds, masks for
@@ -452,9 +460,16 @@ class ServingModel:
         this amortizes dispatch latency that would otherwise dominate the step
         (observed ~2x the device time through this environment's TPU tunnel).
 
-        Returns (carry, sampled (K, B) int32). Raw logits are not returned (a
-        (K, B, V) buffer is prohibitive); workers needing return_logits use
-        single steps.
+        stop_votes: (B,) int32 — each lockstep host writes 1 into its own rows
+        when it wants to shut down; the returned global sum is the coordinated
+        shutdown signal (a cross-dp reduction, so every host observes the same
+        count at the same block index and exits after the same launch count —
+        a host silently stopping would wedge the others inside the next
+        block's dp collective). Meshless/zero votes cost nothing.
+
+        Returns (carry, sampled (K, B) int32, stop_count () int32). Raw logits
+        are not returned (a (K, B, V) buffer is prohibitive); workers needing
+        return_logits use single steps.
         """
 
         def step(c, inp):
@@ -464,7 +479,7 @@ class ServingModel:
 
         carry, sampled = jax.lax.scan(
             step, carry, (host_tokens, feedback_mask, active_mask, decode_mask))
-        return carry, sampled
+        return carry, sampled, jnp.sum(stop_votes)
 
     def _prefill_step_impl(self, params, carry: BatchCarry, tokens, lengths):
         """Advance prefilling slots by up to `prefill_chunk` tokens each.
@@ -598,13 +613,28 @@ class ServingModel:
                                  jnp.asarray(active_mask),
                                  jnp.asarray(decode_mask))
 
-    def decode_block(self, carry, tokens, feedback_mask, active_mask, decode_mask):
-        """K steps per dispatch; all args (K, B). Returns (carry, sampled (K, B))."""
+    def decode_block(self, carry, tokens, feedback_mask, active_mask,
+                     decode_mask, stop_votes=None):
+        """K steps per dispatch; (K, B) args. Returns (carry, sampled (K, B),
+        stop_count) — stop_count is the cross-host shutdown-vote sum (0 when
+        stop_votes is omitted)."""
         self._apply_op_settings()
+        if stop_votes is None:
+            stop_votes = np.zeros((self.batch_size,), np.int32)
+        stop_votes = np.asarray(stop_votes, np.int32)
+        if self._stop_votes_sharding is not None:
+            ns = self._stop_votes_sharding
+            if ns.is_fully_addressable:
+                votes = jax.device_put(stop_votes, ns)
+            else:
+                votes = jax.make_array_from_callback(
+                    stop_votes.shape, ns, lambda idx: stop_votes[idx])
+        else:
+            votes = jnp.asarray(stop_votes)
         return self._decode_block(self.params, carry, jnp.asarray(tokens),
                                   jnp.asarray(feedback_mask),
                                   jnp.asarray(active_mask),
-                                  jnp.asarray(decode_mask))
+                                  jnp.asarray(decode_mask), votes)
 
     def prefill_step(self, carry, tokens, lengths):
         self._apply_op_settings()

@@ -85,7 +85,8 @@ class PrefixStateCache:
 
     async def check_and_wait_prefill(self, tokens: List[int],
                                      cache_prefill_padding: int,
-                                     return_claim: bool = False):
+                                     return_claim: bool = False,
+                                     can_lead: bool = True):
         """check() + dedup of concurrent identical prefills
         (reference state_cache.py:85-124).
 
@@ -118,6 +119,12 @@ class PrefixStateCache:
                     node.children[token] = child
                 node = child
             if node.prefill_condition is None:
+                if not can_lead:
+                    # this request will never snapshot (cache_prefill off) —
+                    # claiming leadership would make identical concurrent
+                    # prompts wait out its ENTIRE generation before prefilling
+                    # themselves
+                    return ret((remaining, state, cached_len))
                 node.prefill_condition = asyncio.Condition()
                 return ret((remaining, state, cached_len),
                            claim=(node, node.prefill_condition))  # leader

@@ -68,6 +68,7 @@ class _PendingStep:
     raw_logits: Any      # (B, V) for single steps, None for blocks
     decode_slots: List[Tuple[int, str]]  # (slot index, task_id at dispatch)
     block: int = 1       # number of steps this dispatch covered
+    stop_count: Any = None  # () i32 cross-host shutdown-vote sum (blocks only)
 
 
 class Worker:
@@ -115,6 +116,7 @@ class Worker:
         self.carry = None
 
         self.shutdown_flag = False
+        self._stop_vote = False   # lockstep: voted to shut down, awaiting quorum
         self._seq_countdown = 0
         self._loop_times: deque = deque(maxlen=10)
         self.loop_count = 0
@@ -153,6 +155,15 @@ class Worker:
             except queue.Empty:
                 return False
             if isinstance(event, dict) and event.get("type") == "shutdown":
+                if self.lockstep:
+                    # coordinated shutdown: a host that simply stops issuing
+                    # programs wedges every other host inside the next block's
+                    # dp-crossing collective. Instead VOTE via the stop-count
+                    # reduction riding the decode block; all hosts observe the
+                    # same count at the same block index and exit after the
+                    # same launch count.
+                    self._stop_vote = True
+                    return False
                 self.shutdown_flag = True
                 return True
 
@@ -221,10 +232,16 @@ class Worker:
                 break
             prefill_count += 1
 
-            if self.lockstep and (task.state is not None or task.return_logits):
+            if self.lockstep and (
+                    task.state is not None or task.return_logits
+                    or len(list(task.forbidden_tokens))
+                    > ServingModel.LOCKSTEP_MAX_FORBIDDEN):
                 # lockstep cannot resume from snapshots (the state payload
-                # would have to ride the fixed per-loop program) or return
-                # per-step logits (global-array fetch); fail loudly
+                # would have to ride the fixed per-loop program), return
+                # per-step logits (global-array fetch), or honor more than
+                # LOCKSTEP_MAX_FORBIDDEN forbidden ids (the per-loop admission
+                # program carries a capped id buffer; silently truncating
+                # would violate the unbounded contract) — fail loudly
                 task.request_status = RequestStatus.FINISHED_ABORTED
                 task.output_queue.put_nowait(("task_completed", task))
                 continue
@@ -283,7 +300,12 @@ class Worker:
                 # list that the next dispatch popped from (crash)
             if len(task.prefill_tokens) == 0:
                 slot.phase = SlotPhase.DECODE
-            elif len(task.prefill_tokens) < self.min_forward_seq_len:
+            elif (len(task.prefill_tokens) - slot.pad()
+                  < self.min_forward_seq_len):
+                # pad-ADJUSTED remaining, mirroring admission and
+                # _run_prefill_step's avail: bulk prefill stops pad() tokens
+                # early, so a padding >= min_forward_seq_len slot would
+                # otherwise never leave SEQ (avail 0, skipped forever)
                 slot.phase = SlotPhase.ONE_PREFILL
 
     # ---------------------------------------------------------------- forward
@@ -350,8 +372,12 @@ class Worker:
                 slot.phase = SlotPhase.DECODE
                 decode_slots.append((idx, task.task_id))
 
-        self.carry, sampled = self.model.decode_block(
-            self.carry, tokens, feedback, active, decode)
+        stop_votes = np.zeros((B,), np.int32)
+        if self._stop_vote:
+            lo, hi = self.slot_range
+            stop_votes[lo:hi] = 1
+        self.carry, sampled, stop_count = self.model.decode_block(
+            self.carry, tokens, feedback, active, decode, stop_votes)
 
         # snapshot boundaries align with block ends by construction
         for idx, slot in enumerate(self.slots):
@@ -361,7 +387,8 @@ class Worker:
                 self._maybe_snapshot(idx)
 
         self._pending = _PendingStep(sampled=sampled, raw_logits=None,
-                                     decode_slots=decode_slots, block=K)
+                                     decode_slots=decode_slots, block=K,
+                                     stop_count=stop_count)
         return n_active, n_decode
 
     def _dispatch_decode_step(self):
@@ -419,6 +446,10 @@ class Worker:
         self._pending = None
         if pending is None:
             return
+        if self.lockstep and pending.stop_count is not None:
+            # replicated scalar: addressable on every host
+            if int(np.asarray(jax.device_get(pending.stop_count))) > 0:
+                self.shutdown_flag = True
         sampled_np = self._fetch_sampled(pending.sampled)
         if sampled_np.ndim == 1:
             sampled_np = sampled_np[None, :]
@@ -524,9 +555,9 @@ class Worker:
         if n_active > 0 or self.lockstep:
             # lockstep dispatches the (possibly all-masked) block regardless:
             # the fixed sequence keeps replicated carry leaves (rng) identical
-            # on every host
+            # on every host, and the shutdown vote rides the block program
             K = self._choose_block_size()
-            if K > 1:
+            if K > 1 or self.lockstep:
                 total, decode_count = self._dispatch_decode_block(K)
             else:
                 total, decode_count = self._dispatch_decode_step()
@@ -594,7 +625,7 @@ class Worker:
                 print(f"[{self.worker_id}] profiler unavailable: {exc}")
                 profile_dir = None
         while True:
-            if self._process_master_events():
+            if self._process_master_events() or self.shutdown_flag:
                 break
             try:
                 did_work = self.run_once()
@@ -607,6 +638,12 @@ class Worker:
                 self._abort_all_tasks(exc)
                 time.sleep(0.5)
                 continue
+            if self.shutdown_flag:
+                if self.lockstep:
+                    # quorum reached: the global mesh is shutting down; any
+                    # still-running requests on this host cannot progress
+                    self._abort_all_tasks(RuntimeError("lockstep shutdown"))
+                break
             if not did_work:
                 time.sleep(self.idle_sleep)
         if profile_dir:

@@ -127,11 +127,14 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         for s in stops:
             stop_tokens.extend(engine.tokenizer.encode(s))
 
+    will_cache = (config.state_cache_size > 0 and req.cache_prefill
+                  and state_cache is not None)
     claim = None  # prefill-leader claim (node, condition); MUST be released
     if req.use_state_cache and state_cache is not None:
         real_prefill_tokens, state, _cached, claim = \
             await state_cache.check_and_wait_prefill(
-                prefill_tokens, cache_prefill_padding, return_claim=True)
+                prefill_tokens, cache_prefill_padding, return_claim=True,
+                can_lead=will_cache)
     else:
         real_prefill_tokens, state = prefill_tokens, None
 
@@ -152,8 +155,7 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
             penalty_decay=req.penalty_decay,
             stop_tokens=(set() if req.ignore_eos
                          else set(DEFAULT_STOP_TOKENS) | set(stop_tokens)),
-            cache_prefill=config.state_cache_size > 0 and req.cache_prefill
-            and state_cache is not None,
+            cache_prefill=will_cache,
             cache_prefill_padding=cache_prefill_padding,
         )
         if req.stream:

@@ -33,10 +33,17 @@ import sys
 
 N_PROC = 2
 LOCAL_DEVICES = 4
-PORT = 12411
 
 
-def child(pid: int):
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        return sock.getsockname()[1]
+
+
+def child(pid: int, port: int):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                f" --xla_force_host_platform_device_count={LOCAL_DEVICES}")
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -44,7 +51,7 @@ def child(pid: int):
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-    jax.distributed.initialize(f"127.0.0.1:{PORT}", num_processes=N_PROC,
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=N_PROC,
                                process_id=pid)
 
     import numpy as np
@@ -200,20 +207,48 @@ def child(pid: int):
     assert all(len(g) == 4 for g in gen), gen
     print(f"[p{pid}] lockstep worker OK: generated {gen}", flush=True)
 
+    # ---- phase 3: coordinated shutdown — host 0 votes, BOTH hosts must exit
+    # after the SAME number of additional loops (the vote-count reduction rides
+    # the decode block; a host exiting alone would wedge the other in the next
+    # block's dp collective)
+    worker._stop_vote = (pid == 0)
+    extra = 0
+    for _ in range(10):
+        if worker.shutdown_flag:
+            break
+        worker.run_once()
+        extra += 1
+    assert worker.shutdown_flag, f"[p{pid}] no shutdown quorum after {extra}"
+    print(f"[p{pid}] coordinated shutdown after {extra} extra loops",
+          flush=True)
+    with open(f"/tmp/dryrun_multihost_p{pid}.stop", "w") as f:
+        f.write(str(extra))
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", type=int, default=-1)
+    ap.add_argument("--port", type=int, default=0)
     args = ap.parse_args()
     if args.child >= 0:
-        child(args.child)
+        child(args.child, args.port)
         return
 
+    # ephemeral coordinator port: a fixed one collides across concurrent runs
+    # and with a stale coordinator left by a previous killed run
+    port = _free_port()
     procs = [subprocess.Popen(
-        [sys.executable, "-u", os.path.abspath(__file__), "--child", str(i)],
+        [sys.executable, "-u", os.path.abspath(__file__), "--child", str(i),
+         "--port", str(port)],
         env=dict(os.environ, JAX_PLATFORMS="cpu"))
         for i in range(N_PROC)]
-    rcs = [p.wait(timeout=600) for p in procs]
+    try:
+        rcs = [p.wait(timeout=540) for p in procs]
+    finally:
+        for p in procs:  # reap stragglers — orphans hold the coordinator port
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=10)
     if any(rcs):
         raise SystemExit(f"child processes failed: {rcs}")
     # each process saw only ITS batch shard: rows must partition 0..7
@@ -222,6 +257,9 @@ def main():
     rows0 = set(outs[0][-1]) | set(outs[1][-1])
     assert rows0 == set(range(8)), rows0
     assert not (set(outs[0][-1]) & set(outs[1][-1])), "shards overlap"
+    stops = [open(f"/tmp/dryrun_multihost_p{i}.stop").read()
+             for i in range(N_PROC)]
+    assert stops[0] == stops[1], f"hosts exited after different loop counts: {stops}"
     print(f"dryrun_multihost OK: {N_PROC} processes x {LOCAL_DEVICES} devices, "
           "batch dp-sharded across processes, tp-sharded model within each")
 

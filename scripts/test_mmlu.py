@@ -112,6 +112,9 @@ async def main(args):
     for subject, (c, t) in sorted(by_subject.items()):
         print(f"  {subject:40s} {c:4d}/{t:4d} = {c / max(t, 1):.4f}")
     engine.shutdown()
+    # join the worker threads: a daemon thread still inside a jax call when the
+    # interpreter exits aborts the process ("FATAL: exception not rethrown")
+    engine.join(timeout=15)
 
 
 if __name__ == "__main__":
