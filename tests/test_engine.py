@@ -301,3 +301,31 @@ def test_long_prompt_chunked_prefill(engine_setup, vocab_path):
             break
         expected.append(cur)
     assert engine_tokens == expected
+
+
+def test_cache_prefill_large_padding(engine_setup):
+    """Regression: padding >= min_forward_seq_len (10) used to strand the slot
+    in SEQ_PREFILL forever (bulk prefill stops pad tokens early; the transition
+    compared the raw remaining length instead of the pad-adjusted one)."""
+    loop, engine = engine_setup
+    prompt = "hello world the User says hello to the Assistant and world peace"
+
+    async def go():
+        ids = engine.tokenizer.encode(prompt)
+        assert len(ids) > 14
+        completion = engine.completion(
+            prompt, prefill_tokens=list(ids), temperature=0.0, max_tokens=3,
+            stop_tokens=[0], cache_prefill=True, cache_prefill_padding=12,
+            presence_penalty=0.0, frequency_penalty=0.0)
+        snapshot, toks = None, []
+        async for event in completion:
+            if event[0] == "cache_prefill":
+                snapshot = event[1]
+            elif event[0] == "token":
+                toks.append(event[1])
+        return ids, snapshot, toks
+
+    ids, snapshot, toks = loop.run_until_complete(asyncio.wait_for(go(), 60))
+    assert len(toks) >= 1                        # generation made progress
+    assert snapshot is not None
+    assert list(snapshot["prefilled_tokens"]) == ids[:-12]
