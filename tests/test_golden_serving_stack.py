@@ -13,6 +13,7 @@ tighter than a trained model's, so the flip rates below are pessimistic):
   fp32 stack:        bit-exact (maxabs 0.0)
   int8 w8a16 (xla):  maxabs 0.023, rel-mean 1.7%, 4-way decision agreement 98.3%
   int8 w8a8 (xla_a8): maxabs 0.039, rel-mean 2.9%, 4-way decision agreement 98.0%
+  int8 pallas_a8 (the TPU path, interpret): maxabs 0.031, rel 2.7%, 4-way 97.7%
 The 4-way decision rule mirrors the MMLU harness (argmax of log-probs over 4
 candidate tokens). scripts/test_mmlu.py remains ready to run the real measurement
 the moment a checkpoint is available.
@@ -120,3 +121,40 @@ def test_int8_w8a8_serving_stack_vs_golden(golden, params):
     rel = d.mean() / np.abs(expected).mean()
     assert rel < 0.06, rel                      # measured 0.029
     assert _four_way_agreement(logits, expected) > 0.94  # measured 0.980
+
+
+def test_int8_pallas_serving_stack_vs_golden(golden, params):
+    """The EXACT TPU serving numeric path — fused Pallas a8 kernels (merged
+    R/K/V + FFN pair + fused-TMix WKV), packed LoRA — in interpret mode,
+    against the same golden logits. This is the configuration bench.py and the
+    TPU server actually run; the xla_a8 test above only approximates it."""
+    import jax.numpy as jnp
+    from chirrup_tpu.models.config import RuntimeConfig
+    from chirrup_tpu.engine.serving import ServingModel
+
+    tokens, expected = golden
+    rt = RuntimeConfig(activation_dtype=jnp.float32, wkv_state_dtype=jnp.float32,
+                       quantization="int8", use_pallas_wkv=True,
+                       mm8_core="pallas_a8")
+    model = ServingModel(CFG, params, rt, batch_size=2, prefill_chunk=8,
+                         interpret_pallas=True)
+    # the fused serving layout must be active
+    att = model.params["blocks"]["att"]
+    from chirrup_tpu.ops.mm8 import Mm8MultiWeight
+    assert isinstance(att.get("Wrkv"), Mm8MultiWeight) and "lora1" in att
+
+    carry = model.insert_slot(model.init_carry(), 0, None, _T())
+    act = np.array([True, False])
+    outs = []
+    for t in tokens[:12]:  # interpret mode is slow; 12 positions suffice
+        carry, _, raw = model.decode_step(
+            carry, jnp.asarray([t, 0], jnp.int32), jnp.asarray(act),
+            jnp.asarray(act))
+        outs.append(np.asarray(raw[0], np.float32))
+    logits = np.stack(outs)
+    exp = expected[:12]
+    d = np.abs(logits - exp)
+    rel = d.mean() / np.abs(exp).mean()
+    assert d.max() < 0.08, d.max()             # measured 0.031
+    assert rel < 0.055, rel                     # measured 0.027
+    assert _four_way_agreement(logits, exp) > 0.94  # measured 0.977
