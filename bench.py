@@ -228,7 +228,7 @@ def _run_worker_loop(models, batch, K, steps, deadline_check=True):
 
     t0 = time.time()
     for i, m in enumerate(models):  # compile (cache-shared across workers)
-        carries[i], sampled = m.decode_block(
+        carries[i], sampled, _ = m.decode_block(
             carries[i], jnp.asarray(tokens), jnp.asarray(feedback),
             jnp.asarray(ones), jnp.asarray(ones))
     jax.block_until_ready(sampled)
@@ -242,8 +242,8 @@ def _run_worker_loop(models, batch, K, steps, deadline_check=True):
     prev = None
     for _ in range(2):
         for i, m in enumerate(models):
-            carries[i], sampled = m.decode_block(carries[i], tokens, fb_all,
-                                                 ones_j, ones_j)
+            carries[i], sampled, _ = m.decode_block(carries[i], tokens, fb_all,
+                                                    ones_j, ones_j)
         jax.block_until_ready(sampled)
 
     nblocks = max(steps // K, 3)
@@ -252,8 +252,8 @@ def _run_worker_loop(models, batch, K, steps, deadline_check=True):
     for i in range(nblocks):
         block_out = []
         for w, m in enumerate(models):
-            carries[w], sampled = m.decode_block(carries[w], tokens, fb_all,
-                                                 ones_j, ones_j)
+            carries[w], sampled, _ = m.decode_block(carries[w], tokens, fb_all,
+                                                    ones_j, ones_j)
             block_out.append(sampled)
         if prev is not None:
             _ = [np.asarray(jax.device_get(x)) for x in prev]

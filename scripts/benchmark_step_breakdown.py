@@ -174,12 +174,14 @@ def main():
         def block_at(nsteps, carry):
             toks = jnp.zeros((nsteps, B), jnp.int32)
             tt = jnp.ones((nsteps, B), bool)
-            carry, s = sm._decode_block(sm.params, carry, toks, tt, tt, tt)
+            carry, s, _ = sm._decode_block(sm.params, carry, toks, tt, tt, tt,
+                               jnp.zeros((B,), jnp.int32))
             np.asarray(s)
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                carry, s = sm._decode_block(sm.params, carry, toks, tt, tt, tt)
+                carry, s, _ = sm._decode_block(sm.params, carry, toks, tt, tt, tt,
+                               jnp.zeros((B,), jnp.int32))
                 np.asarray(s)
                 ts.append(time.perf_counter() - t0)
             return min(ts), carry
