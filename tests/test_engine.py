@@ -329,3 +329,57 @@ def test_cache_prefill_large_padding(engine_setup):
     assert len(toks) >= 1                        # generation made progress
     assert snapshot is not None
     assert list(snapshot["prefilled_tokens"]) == ids[:-12]
+
+
+def test_churn_abort_storm_no_slot_leaks(vocab_path):
+    """Robustness under churn: a burst of short requests, a third aborted
+    mid-flight, must all complete/abort cleanly with every slot EMPTY and the
+    queue drained afterwards (no leaked tasks, no stuck phases)."""
+    import asyncio as aio
+    from chirrup_tpu.engine.engine import AsyncEngineCore as Engine
+    from chirrup_tpu.engine.worker import SlotPhase
+
+    loop = aio.new_event_loop()
+    engine = Engine()
+    cfg = synthetic_model_config(vocab_path)
+    loop.run_until_complete(aio.wait_for(
+        engine.init(worker_num=1, model_config=cfg, batch_size=4,
+                    load_timeout=180), timeout=200))
+
+    async def one(i):
+        completion = engine.completion(
+            f"hello world number {i} and some more words to prefill",
+            temperature=1.0, top_p=0.9, max_tokens=6, stop_tokens=[0],
+            presence_penalty=0.2, frequency_penalty=0.2)
+        n = 0
+        async for event in completion:
+            if event[0] == "token":
+                n += 1
+                if i % 3 == 0 and n >= 1:
+                    completion.abort()
+        return completion.task
+
+    async def go():
+        return await aio.gather(*[one(i) for i in range(18)])
+
+    try:
+        tasks = loop.run_until_complete(aio.wait_for(go(), 240))
+        assert all(t.is_finished() for t in tasks)
+        aborted = sum(1 for t in tasks if t.request_status.name ==
+                      "FINISHED_ABORTED")
+        assert aborted >= 3  # the aborts actually took effect
+
+        # drain: give the worker a moment to retire the last completions
+        import time as _time
+        for _ in range(100):
+            w = engine.workers[0]
+            if (all(s.phase == SlotPhase.EMPTY for s in w.slots)
+                    and engine.task_queue.empty()):
+                break
+            _time.sleep(0.05)
+        assert all(s.phase == SlotPhase.EMPTY for s in engine.workers[0].slots)
+        assert engine.task_queue.empty()
+    finally:
+        engine.shutdown()
+        engine.join(timeout=10)
+        loop.close()

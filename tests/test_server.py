@@ -251,3 +251,42 @@ def test_ignore_eos_runs_to_max_tokens(server_setup):
     n, choice = _run(loop, go(), timeout=120)
     assert n == 7
     assert choice["finish_reason"] == "length"
+
+
+def test_malformed_requests_error_envelopes(server_setup):
+    """API fuzz-lite: malformed bodies must produce OpenAI-style error JSON
+    (4xx/5xx), never hang or crash the server."""
+    loop, client = server_setup
+
+    bodies = [
+        '{"messages": "not a list"}',
+        '{"messages": [{"role": "user"}]}',              # missing content
+        '{"messages": [], "max_tokens": "many"}',
+        'not json at all',
+        '{"messages": [{"role": "user", "content": "x"}], "temperature": -99,'
+        ' "top_p": 99, "max_tokens": 1, "ignore_eos": true}',  # extreme params
+        '{"messages": [{"role": "user", "content": "x"}],'
+        ' "stop": [123], "max_tokens": 1}',              # stop: wrong item type
+    ]
+
+    async def go():
+        out = []
+        for b in bodies:
+            resp = await client.post(
+                "/v1/chat/completions", data=b,
+                headers={"Content-Type": "application/json"})
+            text = await resp.text()
+            out.append((resp.status, text[:200]))
+        # the server still serves normal traffic afterwards
+        ok = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 2, "ignore_eos": True})
+        return out, ok.status
+
+    results, ok_status = _run(loop, go(), timeout=120)
+    for status, text in results[:4]:
+        assert status in (400, 422, 500), (status, text)
+        assert '"error"' in text, text
+    # extreme-but-typed params may legitimately serve (clamped by sampler
+    # semantics) or 4xx — either way, valid JSON and no hang
+    assert ok_status == 200
