@@ -89,8 +89,10 @@ def build_random_int8_params(cfg, key, dtype, use_numpy=False):
     """Parameter pytree with Mm8Weight big mats, random codes/scales (bench-only).
 
     use_numpy generates on host (fast on CPU backends where jax's threefry is
-    ~20x slower than numpy); default generates on-device (fast on TPU and avoids
-    pushing ~7 GB through the tunnel)."""
+    ~20x slower than numpy); default generates on-device INSIDE ONE jit so the
+    whole ~7 GB tree is a single compile + dispatch (per-tensor dispatch through
+    the axon tunnel measured 209 s for the 1.5B tree; one fused program is
+    seconds and its compile persists in .jax_cache)."""
     import jax
     import jax.numpy as jnp
     from chirrup_tpu.ops.mm8 import Mm8Weight
@@ -98,32 +100,55 @@ def build_random_int8_params(cfg, key, dtype, use_numpy=False):
     L, C, V, F = cfg.n_layer, cfg.n_embd, cfg.vocab_size, cfg.d_ffn
     Dw, Da, Dv, Dg = (cfg.d_decay_lora, cfg.d_iclr_lora, cfg.d_v_lora,
                       cfg.d_gate_lora)
-    ks = iter(jax.random.split(key, 64))
-    np_rng = np.random.default_rng(np.uint32(jax.random.bits(key)))
 
-    def dense(*shape, scale=0.02):
-        if use_numpy:
+    def _tree(dense, q8):
+        return _param_tree_literal(L, C, V, F, Dw, Da, Dv, Dg, dense, q8)
+
+    if use_numpy:
+        np_rng = np.random.default_rng(np.uint32(jax.random.bits(key)))
+
+        def dense(*shape, scale=0.02):
             return jnp.asarray(
                 np_rng.standard_normal(shape, np.float32) * scale, dtype)
-        return (jax.random.normal(next(ks), shape, jnp.float32) * scale).astype(dtype)
 
-    def q8(*shape, rx_full=0.04, ry_full=0.002):
-        K = shape[-2]
-        M = shape[-1]
-        lead = shape[:-2]
-        if use_numpy:
+        def q8(*shape, rx_full=0.04, ry_full=0.002):
             codes = jnp.asarray(
                 np_rng.integers(-128, 128, shape, np.int8, endpoint=False))
-        else:
-            codes = jax.random.randint(next(ks), shape, -128, 128, jnp.int8)
-        return Mm8Weight(
-            q=codes,
-            mx=jnp.zeros(lead + (M,), jnp.float32),
-            rx=jnp.full(lead + (M,), rx_full / 16, jnp.float32),
-            my=jnp.zeros(lead + (K,), jnp.float32),
-            ry=jnp.full(lead + (K,), ry_full / 16, jnp.float32),
-        )
+            return _mm8_from_codes(Mm8Weight, jnp, codes, shape,
+                                   rx_full, ry_full)
 
+        return _tree(dense, q8)
+
+    @jax.jit
+    def _gen(key):
+        ks = iter(jax.random.split(key, 64))
+
+        def dense(*shape, scale=0.02):
+            return (jax.random.normal(next(ks), shape, jnp.float32)
+                    * scale).astype(dtype)
+
+        def q8(*shape, rx_full=0.04, ry_full=0.002):
+            codes = jax.random.randint(next(ks), shape, -128, 128, jnp.int8)
+            return _mm8_from_codes(Mm8Weight, jnp, codes, shape,
+                                   rx_full, ry_full)
+
+        return _tree(dense, q8)
+
+    return _gen(key)
+
+
+def _mm8_from_codes(Mm8Weight, jnp, codes, shape, rx_full, ry_full):
+    K, M, lead = shape[-2], shape[-1], shape[:-2]
+    return Mm8Weight(
+        q=codes,
+        mx=jnp.zeros(lead + (M,), jnp.float32),
+        rx=jnp.full(lead + (M,), rx_full / 16, jnp.float32),
+        my=jnp.zeros(lead + (K,), jnp.float32),
+        ry=jnp.full(lead + (K,), ry_full / 16, jnp.float32),
+    )
+
+
+def _param_tree_literal(L, C, V, F, Dw, Da, Dv, Dg, dense, q8):
     att = {
         "x_r": dense(L, C), "x_w": dense(L, C), "x_k": dense(L, C),
         "x_v": dense(L, C), "x_a": dense(L, C), "x_g": dense(L, C),

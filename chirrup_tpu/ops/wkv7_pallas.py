@@ -364,17 +364,18 @@ def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,
 def _pick_batch_tile(B: int, T: int, HN: int) -> int:
     """Largest Bt with the program's VMEM footprint ~under 68MB (state f32 tile +
     double-buffered bf16 staging of state/rows), so Mosaic can still double-buffer.
-    Swept at 7.2B decode (B=200): Bt=20 73.0%, Bt=8 71.9% of state-traffic SOL
-    (68MB admits Bt=20 at HN=4096, footprint 65.2MB — compiles and runs)."""
-    for bt in (20, 16, 8, 4, 2, 1):
-        if B % bt:
+    Bt is the SUBLANE dim of the 2-D (Bt, HN) row blocks, so Mosaic requires
+    Bt % 8 == 0 (or Bt == B, a single whole-array block). Swept at 7.2B decode:
+    Bt 8..24 all land 71.9-73.0% of state-traffic SOL — the choice is loose."""
+    for bt in (24, 16, 8, 4, 2, 1):
+        if B % bt or (bt % 8 and bt != B):
             continue
         footprint = (bt * _N * HN * 4                 # S carry f32
                      + 2 * 2 * bt * _N * HN * 2       # state in/out staging x2
                      + 2 * 7 * bt * T * HN * 2)       # r,w,k,a,b,v2,y2 staging x2
         if footprint <= 68 * 1024 * 1024:
             return bt
-    return 1
+    return B
 
 
 @functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
