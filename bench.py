@@ -209,7 +209,7 @@ def _wait_for_backend(max_wait_s: float) -> bool:
         delay = min(delay * 1.5, 45.0)
 
 
-def _build_model(args, cfg, batch, runtime_kwargs, device=None):
+def _build_model(args, cfg, batch, runtime_kwargs, device=None, mesh=None):
     import jax
     import jax.numpy as jnp
     from chirrup_tpu.models.config import RuntimeConfig
@@ -223,7 +223,7 @@ def _build_model(args, cfg, batch, runtime_kwargs, device=None):
         params = jax.device_put(params, device)
     jax.block_until_ready(params["emb"])
     runtime = RuntimeConfig(**runtime_kwargs)
-    return ServingModel(cfg, params, runtime, batch_size=batch)
+    return ServingModel(cfg, params, runtime, batch_size=batch, mesh=mesh)
 
 
 def _run_worker_loop(models, batch, K, steps, deadline_check=True):
@@ -303,6 +303,10 @@ def main():
     ap.add_argument("--workers", type=int, default=1,
                     help="simulate N data-parallel workers (N models round-robin "
                          "over the available devices; aggregate = sum)")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="serve through a tp-way mesh (the shard_map SPMD path; "
+                         "tp=1 on one chip measures the mesh-path overhead vs "
+                         "the meshless program)")
     ap.add_argument("--mm8-core", default=None,
                     choices=["auto", "pallas", "pallas_a8", "xla", "xla_a8"],
                     help="override RuntimeConfig.mm8_core for this run")
@@ -368,8 +372,15 @@ def main():
     wkv_path = "pallas WKV" if on_tpu else "lax.scan WKV"
 
     if args.workers <= 1:
+        mesh = None
+        mesh_note = ""
+        if args.tp:
+            from chirrup_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(tp=args.tp)
+            mesh_note = f", via tp={args.tp} mesh (shard_map SPMD path)"
         t0 = time.time()
-        models = [_build_model(args, cfg, batch, dict(runtime_kwargs))]
+        models = [_build_model(args, cfg, batch, dict(runtime_kwargs),
+                               mesh=mesh)]
         print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr)
         n_tok, dt, partial = _run_worker_loop(models, batch, K, args.steps)
         agg = batch * n_tok / dt
@@ -378,7 +389,7 @@ def main():
         _record(
             f"decode tokens/s/chip, RWKV-7 {size} INT8 ({wkv_path} + mm8 + "
             f"sampling + penalties), batch {batch}, {K}-step blocks, "
-            f"pipelined host sync",
+            f"pipelined host sync{mesh_note}",
             agg, partial=partial)
     else:
         # DP simulation: N independent worker models round-robin over devices
