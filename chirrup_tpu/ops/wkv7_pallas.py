@@ -136,11 +136,17 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
         v_nh = v2_ref[:, pl.ds(t, 1)][:, 0].astype(f32)    # (Bt, N, H), i-on-sublane
 
         d1 = 1.0 + _decay_row(w_row, elapsed + t, use_dither)
+        # fold the activity mask into the cheap (Bt, 1, HN) rows (d1=1, k=0,
+        # b=0 make S_new == S elementwise) instead of a full-state
+        # (Bt, N, HN) select — the kernel is VPU-bound, every pass counts
+        d1 = jnp.where(active, d1, 1.0)
+        k_row = jnp.where(active, k_row, 0.0)
+        b_row = jnp.where(active, b_row, 0.0)
         S_new, y, _ = _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh,
                                     seg, segT, precision)
         y2_ref[:, pl.ds(t, 1)] = jnp.where(
             active, y, 0.0).astype(y2_ref.dtype)[:, None]
-        return jnp.where(active, S_new, S)
+        return S_new
 
     S_fin = jax.lax.fori_loop(0, T, body, S0, unroll=(T == 1))
     state_out_ref[0] = S_fin.astype(state_out_ref.dtype)
@@ -170,10 +176,13 @@ def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
     v_nh = v_ref[:].astype(f32)                         # (Bt, N, H)
 
     d1 = 1.0 + _decay_row(w_row, elapsed_ref[:], use_dither)
+    d1 = jnp.where(active, d1, 1.0)          # row-folded activity mask:
+    k_row = jnp.where(active, k_row, 0.0)    # d1=1, k=0, b=0 => S_new == S,
+    b_row = jnp.where(active, b_row, 0.0)    # no (Bt, N, HN) select pass
     S_new, y, _ = _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh,
                                 seg, segT, precision)
     y_ref[:] = jnp.where(active, y, 0.0).astype(y_ref.dtype)
-    state_out_ref[0] = jnp.where(active, S_new, S).astype(state_out_ref.dtype)
+    state_out_ref[0] = S_new.astype(state_out_ref.dtype)
 
 
 def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
@@ -223,6 +232,9 @@ def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
     k_row = k_t[:, None, :]
 
     d1 = 1.0 + _decay_row(w_row, elapsed_ref[:], use_dither)
+    d1 = jnp.where(active, d1, 1.0)          # row-folded activity mask:
+    k_row = jnp.where(active, k_row, 0.0)    # d1=1, k=0, b=0 => S_new == S,
+    b_row = jnp.where(active, b_row, 0.0)    # no (Bt, N, HN) select pass
     S_new, y, (bonus,) = _token_update(
         S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT, precision,
         extra_rows=(r_row[:, 0] * k_t * rk_p,))         # bonus row
@@ -235,7 +247,7 @@ def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
     y_out = y_gn + bonus * v_nh
 
     y_ref[:] = jnp.where(active, y_out, 0.0).astype(y_ref.dtype)
-    state_out_ref[0] = jnp.where(active, S_new, S).astype(state_out_ref.dtype)
+    state_out_ref[0] = S_new.astype(state_out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
