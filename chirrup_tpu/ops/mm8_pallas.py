@@ -39,18 +39,24 @@ def _pick_nk(K: int) -> int:
 def _pick_bm(K: int, M: int, budget: int = 8 * 1024 * 1024) -> int:
     """M-tile size for the weight stream.
 
-    Measured on v5e at B=200: small weights (K*M <= 32MB) want the LARGEST tile
-    (fewer grid steps; per-step MXU efficiency dominates — 4096x4096: bm2048
-    34us vs bm256 50us); large weights want bm=256 (deep DMA pipeline hides the
-    per-tile latency — 16384x4096: bm256 131us vs bm512 163us)."""
+    Swept on v5e at B=200 with seconds-scale chained-loop totals
+    (scripts/sweep_fused_kernels.py — earlier ms-scale sweeps were tunnel
+    noise): 4096x4096 wants bm=512 (Wo 32.8us vs 38.4 at 2048; the 2-step
+    bm2048 grid cannot pipeline DMA against the MXU), 4096x16384 wants 512
+    (210.7us vs 222.4 at 256), 16384x4096 keeps 256 (218 vs 211 — the deep
+    K makes 512 tiles 8MB and starves double-buffering)."""
     cands = tuple(c for c in (2048, 1024, 512, 256, 128)
                   if K * c <= budget and M % c == 0)
     if not cands:
         return 0
     if K * M > 32 * 1024 * 1024:
+        if K <= 4096 and M <= 16384 and 512 in cands:
+            return 512
         for small in (256, 512):
             if small in cands:
                 return small
+    if 512 in cands:
+        return 512
     return cands[0]
 
 
