@@ -298,7 +298,7 @@ def main():
                     help="1.5B-ish config for quick checks")
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--block", type=int, default=8)
+    ap.add_argument("--block", type=int, default=16)  # worker's TPU default K
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--workers", type=int, default=1,
                     help="simulate N data-parallel workers (N models round-robin "

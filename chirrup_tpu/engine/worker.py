@@ -129,10 +129,14 @@ class Worker:
         self.carry = self.model.init_carry()
         if self.decode_block_size is None:
             # dispatch latency >> step time on real accelerators behind an RPC
-            # tunnel; amortize it with multi-step blocks there, single-step on CPU
+            # tunnel; amortize it with multi-step blocks there, single-step on
+            # CPU. K=16 measured +3.1% aggregate over K=8 at 7.2B/B=200 (the
+            # per-block host I/O halves); stop-token overshoot stays host-side
+            # and costs ~K/2 extra steps of ONE slot per completion — <<1% of
+            # batch throughput at serving generation lengths.
             import jax
             on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
-            self.decode_block_size = 8 if on_tpu else 1
+            self.decode_block_size = 16 if on_tpu else 1
         self._emit_worker_event("worker_loaded", {
             "status": "success",
             "worker_id": self.worker_id,
