@@ -315,6 +315,9 @@ def main():
                     choices=["auto", "pallas", "pallas_a8", "xla", "xla_a8"],
                     help="override RuntimeConfig.mm8_core for this run")
     args = ap.parse_args()
+    if args.tp and args.workers > 1:
+        ap.error("--tp and --workers>1 are mutually exclusive: the DP worker "
+                 "branch benches meshless replicas (use one or the other)")
 
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGALRM, _sig_handler)

@@ -499,10 +499,13 @@ class Worker:
 
     def _run_prefill_step(self):
         """One ragged chunk for every SEQ_PREFILL slot (reference _run_forward_seq,
-        worker.py:744-776, without the global min-length coupling)."""
-        B, T = self.batch_size, self.model.prefill_chunk
-        tokens = np.zeros((B, T), np.int32)
-        lengths = np.zeros((B,), np.int32)
+        worker.py:744-776, without the global min-length coupling).
+
+        Normal mode runs the COMPACT program: only P = prefill_slots rows go
+        through the model (prefill is compute-bound; the admission cap means
+        at most ~B/8 slots can be in SEQ_PREFILL). Lockstep keeps the fixed
+        full-B program (the compact row set would diverge across hosts)."""
+        T = self.model.prefill_chunk
         fed: Dict[int, List[int]] = {}
         for idx, slot in enumerate(self.slots):
             if slot.phase != SlotPhase.SEQ_PREFILL:
@@ -517,11 +520,39 @@ class Worker:
             task.prefill_tokens = task.prefill_tokens[n - 1:]
             slot.next_input = task.prefill_tokens.pop(0)
             slot.prefilled_tokens.extend(chunk)
-            tokens[idx, :n] = chunk
-            lengths[idx] = n
             fed[idx] = chunk
+
+        sizes = getattr(self.model, "prefill_slot_sizes", None)
+        compact = (not self.lockstep and sizes
+                   and any(len(fed) <= P < self.batch_size for P in sizes))
+        if compact:
+            if not fed:
+                return 0
+            P = next(P for P in sizes if len(fed) <= P)
+            tokens = np.zeros((P, T), np.int32)
+            lengths = np.zeros((P,), np.int32)
+            slot_idx = np.zeros((P,), np.int32)
+            for row, (idx, chunk) in enumerate(fed.items()):
+                tokens[row, :len(chunk)] = chunk
+                lengths[row] = len(chunk)
+                slot_idx[row] = idx
+            # pad rows must point at DISTINCT idle slots (scatter indices must
+            # be unique; length-0 rows pass state through bit-unchanged)
+            spare = (i for i in range(self.batch_size) if i not in fed)
+            for row in range(len(fed), P):
+                slot_idx[row] = next(spare)
+            self.carry = self.model.prefill_step_compact(
+                self.carry, tokens, lengths, slot_idx)
+            return len(fed)
+
         if not fed and not self.lockstep:
             return 0
+        B = self.batch_size
+        tokens = np.zeros((B, T), np.int32)
+        lengths = np.zeros((B,), np.int32)
+        for idx, chunk in fed.items():
+            tokens[idx, :len(chunk)] = chunk
+            lengths[idx] = len(chunk)
         # lockstep: the (all-zero-lengths) call still runs — fixed sequence
         self.carry = self.model.prefill_step(self.carry, tokens, lengths)
         return len(fed)

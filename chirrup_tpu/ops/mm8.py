@@ -254,9 +254,9 @@ def mm8_multi_matmul(x, xx, mu, w: Mm8MultiWeight, li):
     B = x2.shape[0]
     if _resolved_core() == "pallas_a8":
         from chirrup_tpu.ops.mm8_pallas import (
-            mm8_core_supported, mm8_fused_a8_multi_stacked)
+            mm8_fused_supported, mm8_fused_a8_multi_stacked)
 
-        if mm8_core_supported(B, K, C):
+        if mm8_fused_supported(B, K, C):
             pick = lambda v: jax.lax.dynamic_index_in_dim(
                 v, li, 0, keepdims=False)
             y = mm8_fused_a8_multi_stacked(
@@ -341,7 +341,7 @@ def mm8_matmul(x, w, *, core=None, activation=None):
     """
     if core is None and _resolved_core() == "pallas_a8" and x.ndim >= 1:
         from chirrup_tpu.ops.mm8_pallas import (
-            mm8_fused_a8, mm8_fused_a8_stacked, mm8_core_supported)
+            mm8_fused_a8, mm8_fused_a8_stacked, mm8_fused_supported)
 
         lead = x.shape[:-1]
         K = x.shape[-1]
@@ -349,7 +349,7 @@ def mm8_matmul(x, w, *, core=None, activation=None):
         B = x2.shape[0]
         if isinstance(w, LayerIndexed):
             Mo = w.w.q.shape[2]
-            if mm8_core_supported(B, K, Mo):
+            if mm8_fused_supported(B, K, Mo):
                 pick = lambda v: jax.lax.dynamic_index_in_dim(
                     v, w.li, 0, keepdims=False)
                 y = mm8_fused_a8_stacked(
@@ -359,7 +359,7 @@ def mm8_matmul(x, w, *, core=None, activation=None):
                 return y.reshape(lead + (Mo,))
         else:
             Mo = w.q.shape[1]
-            if mm8_core_supported(B, K, Mo):
+            if mm8_fused_supported(B, K, Mo):
                 y = mm8_fused_a8(x2, w.mx, w.rx, w.my, w.ry, w.q,
                                  activation=activation, interpret=_interpret())
                 return y.reshape(lead + (Mo,))

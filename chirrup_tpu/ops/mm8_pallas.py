@@ -43,8 +43,8 @@ def _pick_bm(K: int, M: int, budget: int = 8 * 1024 * 1024) -> int:
     (scripts/sweep_fused_kernels.py — earlier ms-scale sweeps were tunnel
     noise): 4096x4096 wants bm=512 (Wo 32.8us vs 38.4 at 2048; the 2-step
     bm2048 grid cannot pipeline DMA against the MXU), 4096x16384 wants 512
-    (210.7us vs 222.4 at 256), 16384x4096 keeps 256 (218 vs 211 — the deep
-    K makes 512 tiles 8MB and starves double-buffering)."""
+    (210.7us vs 222.4 at 256), 16384x4096 keeps 256 (211 vs 218 at 512 — the
+    deep K makes 512 tiles 8MB and starves double-buffering)."""
     cands = tuple(c for c in (2048, 1024, 512, 256, 128)
                   if K * c <= budget and M % c == 0)
     if not cands:
@@ -76,7 +76,29 @@ def _mm8_kernel(x_ref, q_ref, o_ref, *, n_k):
 
 
 # x (B, K) kept whole in VMEM: B<=256, K<=16384 bf16 = 8MB max — fits comfortably
+# (bound for the NON-row-tiled cores only; the fused a8 kernels below instead
+# make a VMEM-budget decision and fall to a row grid at prefill shapes)
 _MAX_RESIDENT_X = 256 * 16384
+
+# VMEM bytes the fused kernels may spend on row-resident operands/scratch,
+# leaving headroom under the 100MB vmem_limit for double-buffered weight tiles
+_RESIDENT_BUDGET = 64 * 1024 * 1024
+
+
+def _pick_row_tile(B: int, per_row_bytes: int,
+                   budget: int = 36 * 1024 * 1024) -> int:
+    """Row-tile size for the 2-D (rows, M-tiles) fused grids. Prefers a tile
+    that divides B (no pad rows); must be a sublane multiple (8). Weight tiles
+    are re-streamed once per row block, so bigger is better until VMEM."""
+    bmax = max(8, -(-B // 8) * 8)  # never a tile bigger than B (rounded to 8)
+    cands = [bt for bt in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+             if bt <= bmax and bt * per_row_bytes <= budget]
+    if not cands:
+        raise ValueError(f"no row tile fits VMEM ({per_row_bytes} B/row)")
+    for bt in cands:
+        if B % bt == 0:
+            return bt
+    return cands[0]  # wrapper pads rows to a multiple
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -255,21 +277,23 @@ def _apply_activation(y, activation):
 
 
 def _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref, o_ref,
-                     xs8_ref, stats_ref, *, n_k, activation=None):
+                     xs8_ref, stats_ref, *, n_k, activation=None, m_axis=0):
     """Whole mm8 matmul in one kernel: activation scale+quantize, int8 GEMM,
     decomposed-dequant corrections, bf16 output.
 
-    Grid iteration 0 computes the per-row activation stats and int8 codes once
-    into VMEM scratch; every M-tile then runs the int8 dot and applies
-    y = rx/256 * (s*acc + 128.5*xs_sum) + xmy_sum + mx*x_sum directly, so HBM
-    traffic is x (bf16) + q (int8) + y (out dtype) — the XLA-side f32
-    elementwise passes (measured ~30-80us per matmul at B=200) disappear.
+    The first M-tile of each row block computes the per-row activation stats
+    and int8 codes once into VMEM scratch; every M-tile then runs the int8 dot
+    and applies y = rx/256 * (s*acc + 128.5*xs_sum) + xmy_sum + mx*x_sum
+    directly, so HBM traffic is x (bf16) + q (int8) + y (out dtype) — the
+    XLA-side f32 elementwise passes (measured ~30-80us per matmul at B=200)
+    disappear. m_axis: which grid axis walks the M tiles (1 on the row-tiled
+    (rows, M) grids used at prefill shapes, 0 on the resident 1-D grid).
 
     stats columns: 0=s (activation scale), 1=xs_sum, 2=x_sum, 3=xmy_sum.
     """
     f32 = jnp.float32
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(m_axis) == 0)
     def _prep():
         x8, s, xs_sum, x_sum, xmy_sum = _quant_rows(
             x_ref[:].astype(f32), ry_ref[:].astype(f32),
@@ -288,25 +312,102 @@ def _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref, o_ref,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-def _fused_specs(B, K, M, bm, stacked_L=None):
-    if stacked_L is None:
-        q_spec = pl.BlockSpec((K, bm), lambda m: (0, m))
-        vec_m = lambda m: (0, m)
-        vec_k = lambda m: (0, 0)
-        x_spec = pl.BlockSpec((B, K), lambda m: (0, 0))
-        o_spec = pl.BlockSpec((B, bm), lambda m: (0, m))
+def _fused_specs(Bt, K, M, bm, stacked=False, rows=False):
+    """BlockSpecs for the fused single-projection kernel. rows=True builds the
+    2-D (row-block, M-tile) grid variant: x/out get a row index, the scale
+    vectors and weight tiles ignore it. Index maps take (*grid, li) when
+    stacked (scalar-prefetched layer index)."""
+    def imap(fn):
+        # grid idx order: (m,) | (b, m); + trailing li when stacked
+        if rows:
+            return (lambda b, m, li: fn(b, m)) if stacked \
+                else (lambda b, m: fn(b, m))
+        return (lambda m, li: fn(0, m)) if stacked else (lambda m: fn(0, m))
+
+    q_tile = (1, K, bm) if stacked else (K, bm)
+    q_idx = (lambda b, m: (0, 0, m)) if stacked else (lambda b, m: (0, m))
+    if stacked:
+        q_spec = pl.BlockSpec(q_tile, (lambda b, m, li: (li[0], 0, m)) if rows
+                              else (lambda m, li: (li[0], 0, m)))
     else:
-        q_spec = pl.BlockSpec((1, K, bm), lambda m, li: (li[0], 0, m))
-        vec_m = lambda m, li: (0, m)
-        vec_k = lambda m, li: (0, 0)
-        x_spec = pl.BlockSpec((B, K), lambda m, li: (0, 0))
-        o_spec = pl.BlockSpec((B, bm), lambda m, li: (0, m))
-    return (x_spec,
-            pl.BlockSpec((1, bm), vec_m),   # mx
-            pl.BlockSpec((1, bm), vec_m),   # rx
-            pl.BlockSpec((1, K), vec_k),    # my
-            pl.BlockSpec((1, K), vec_k),    # ry
-            q_spec, o_spec)
+        q_spec = pl.BlockSpec(q_tile, imap(q_idx))
+    return (pl.BlockSpec((Bt, K), imap(lambda b, m: (b, 0))),   # x
+            pl.BlockSpec((1, bm), imap(lambda b, m: (0, m))),   # mx
+            pl.BlockSpec((1, bm), imap(lambda b, m: (0, m))),   # rx
+            pl.BlockSpec((1, K), imap(lambda b, m: (0, 0))),    # my
+            pl.BlockSpec((1, K), imap(lambda b, m: (0, 0))),    # ry
+            q_spec,
+            pl.BlockSpec((Bt, bm), imap(lambda b, m: (b, m))))  # out
+
+
+def _fused_a8_call(x, mx, rx, my, ry, q, layer, *, interpret, activation):
+    """Shared implementation of the fused single-projection kernels: picks
+    VMEM-resident x (1-D M grid, one weight read) when it fits, else a 2-D
+    (row-block, M-tile) grid that streams x row blocks (prefill shapes: B is
+    slots x chunk tokens; weights are re-read once per row block, amortized
+    over the compute-bound GEMM)."""
+    B, K = x.shape
+    stacked = layer is not None
+    M = q.shape[-1]
+    bm = _pick_bm(K, M)
+    if not bm:
+        raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
+    n_k = _pick_nk(K)
+    xb = x.dtype.itemsize
+
+    resident = B * K * (xb + 1) + 2 * K * bm + 2 * B * bm * xb + 512 * B
+    if resident <= _RESIDENT_BUDGET:
+        Bt, rows = B, False
+        grid = (M // bm,)
+        m_axis = 0
+    else:
+        Bt = _pick_row_tile(B, K * (xb + 1) + 2 * bm * xb)
+        rows = True
+        pad = (-B) % Bt
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        grid = ((B + pad) // Bt, M // bm)
+        m_axis = 1
+
+    *in_specs, o_spec = _fused_specs(Bt, K, M, bm, stacked=stacked, rows=rows)
+    scratch = [pltpu.VMEM((Bt, K), jnp.int8),
+               pltpu.VMEM((Bt, 128), jnp.float32)]
+    cost = pl.CostEstimate(
+        flops=2 * B * K * M,
+        bytes_accessed=(grid[0] * K * M if rows else K * M)
+        + B * K * xb + B * M * xb,
+        transcendentals=0)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",) * len(grid),
+        vmem_limit_bytes=100 * 1024 * 1024)
+    out_shape = jax.ShapeDtypeStruct((x.shape[0], M), x.dtype)
+
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=list(in_specs),
+            out_specs=o_spec, scratch_shapes=scratch)
+
+        def kernel(li_ref, x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref,
+                   o_ref, xs8_ref, stats_ref):
+            _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref[0],
+                             o_ref, xs8_ref, stats_ref, n_k=n_k,
+                             activation=activation, m_axis=m_axis)
+
+        y = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=cparams, cost_estimate=cost, interpret=interpret,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), x, mx.reshape(1, M),
+          rx.reshape(1, M), my.reshape(1, K), ry.reshape(1, K), q)
+    else:
+        y = pl.pallas_call(
+            functools.partial(_a8_fused_kernel, n_k=n_k,
+                              activation=activation, m_axis=m_axis),
+            grid=grid, in_specs=list(in_specs), out_specs=o_spec,
+            out_shape=out_shape, scratch_shapes=scratch,
+            compiler_params=cparams, cost_estimate=cost, interpret=interpret,
+        )(x, mx.reshape(1, M), rx.reshape(1, M), my.reshape(1, K),
+          ry.reshape(1, K), q)
+    return y[:B] if y.shape[0] != B else y
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "activation"))
@@ -315,38 +416,9 @@ def mm8_fused_a8(x, mx, rx, my, ry, q, *, interpret=False, activation=None):
 
     Scale vectors are the Mm8Weight fields (rx/ry stored /16). Equivalent to
     ops.mm8.mm8_matmul with the a8 core, but with zero XLA-side elementwise
-    passes."""
-    B, K = x.shape
-    K2, M = q.shape
-    assert K == K2
-    bm = _pick_bm(K, M)
-    if not bm or B * K > _MAX_RESIDENT_X:
-        raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
-    n_k = _pick_nk(K)
-
-    *in_specs, o_spec = _fused_specs(B, K, M, bm)
-    return pl.pallas_call(
-        functools.partial(_a8_fused_kernel, n_k=n_k, activation=activation),
-        grid=(M // bm,),
-        in_specs=list(in_specs),
-        out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((B, M), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((B, K), jnp.int8),
-            pltpu.VMEM((B, 128), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * K * M,
-            bytes_accessed=K * M + B * K * x.dtype.itemsize
-            + B * M * x.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(x, mx.reshape(1, M), rx.reshape(1, M), my.reshape(1, K),
-      ry.reshape(1, K), q)
+    passes. Any B: large row counts (prefill) run on a row-tiled grid."""
+    return _fused_a8_call(x, mx, rx, my, ry, q, None, interpret=interpret,
+                          activation=activation)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "activation"))
@@ -356,54 +428,14 @@ def mm8_fused_a8_stacked(x, mx, rx, my, ry, q_stacked, layer, *,
 
     The per-layer scale vectors are passed already sliced (they are O(K+M) f32 —
     the XLA slice is negligible); the codes are indexed in the BlockSpec via
-    scalar prefetch, never copied."""
-    B, K = x.shape
-    L, K2, M = q_stacked.shape
-    assert K == K2
-    bm = _pick_bm(K, M)
-    if not bm or B * K > _MAX_RESIDENT_X:
-        raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
-    n_k = _pick_nk(K)
-
-    *in_specs, o_spec = _fused_specs(B, K, M, bm, stacked_L=L)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(M // bm,),
-        in_specs=list(in_specs),
-        out_specs=o_spec,
-        scratch_shapes=[
-            pltpu.VMEM((B, K), jnp.int8),
-            pltpu.VMEM((B, 128), jnp.float32),
-        ],
-    )
-
-    def kernel(li_ref, x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref, o_ref,
-               xs8_ref, stats_ref):
-        _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref[0],
-                         o_ref, xs8_ref, stats_ref, n_k=n_k,
-                         activation=activation)
-
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, M), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * K * M,
-            bytes_accessed=K * M + B * K * x.dtype.itemsize
-            + B * M * x.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, mx.reshape(1, M),
-      rx.reshape(1, M), my.reshape(1, K), ry.reshape(1, K), q_stacked)
+    scalar prefetch, never copied. Any B (see mm8_fused_a8)."""
+    return _fused_a8_call(x, mx, rx, my, ry, q_stacked, layer,
+                          interpret=interpret, activation=activation)
 
 
 def _a8_fused_multi_kernel(x_ref, xx_ref, mu_ref, mx_ref, rx_ref, my_ref,
                            ry_ref, q_ref, o_ref, xs8_ref, stats_ref, *,
-                           n_k, n_in, tiles_per_in):
+                           n_k, n_in, tiles_per_in, m_axis=0):
     """Fused MULTI-matmul: n_in projections off the same (x, xx) pair.
 
     Computes x_m = x + xx * mu[m] (the token-shift mix), quantizes each variant
@@ -436,7 +468,7 @@ def _a8_fused_multi_kernel(x_ref, xx_ref, mu_ref, mx_ref, rx_ref, my_ref,
         stats_ref[:, 4 * m + 3:4 * m + 4] = xmy_sum
 
     for m in range(n_in):
-        @pl.when(pl.program_id(0) == m * tiles_per_in)
+        @pl.when(pl.program_id(m_axis) == m * tiles_per_in)
         def _prep(m=m):
             _prep_variant(m)
 
@@ -449,7 +481,7 @@ def _a8_fused_multi_kernel(x_ref, xx_ref, mu_ref, mx_ref, rx_ref, my_ref,
                           stats_ref[:, 4 * m + 3:4 * m + 4])
         o_ref[:] = y.astype(o_ref.dtype)
 
-    which = pl.program_id(0) // tiles_per_in
+    which = pl.program_id(m_axis) // tiles_per_in
     for m in range(n_in):
         @pl.when(which == m)
         def _run(m=m):
@@ -472,56 +504,78 @@ def mm8_fused_a8_multi_stacked(x, xx, mu, mx, rx, my, ry, q_stacked, layer, *,
     assert K == K2 and Mtot % n_in == 0
     C = Mtot // n_in
     bm = _pick_bm(K, C)
-    if not bm or B * K > _MAX_RESIDENT_X:
+    if not bm:
         raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={Mtot}")
     n_k = _pick_nk(K)
     tiles_per_in = C // bm
+    xb = x.dtype.itemsize
+
+    # per row: x + xx resident (bf16) + n_in int8 scratch variants
+    resident = B * K * (2 * xb + n_in) + 2 * K * bm + 2 * B * bm * xb
+    if resident <= _RESIDENT_BUDGET:
+        Bt, rows, m_axis = B, False, 0
+        grid = (Mtot // bm,)
+    else:
+        Bt = _pick_row_tile(B, K * (2 * xb + n_in) + 2 * bm * xb)
+        rows, m_axis = True, 1
+        pad = (-B) % Bt
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            xx = jnp.pad(xx, ((0, pad), (0, 0)))
+        grid = ((B + pad) // Bt, Mtot // bm)
+
+    def imap(fn):  # grid idx (m,)|(b, m), + scalar-prefetched li
+        return (lambda b, m, li: fn(b, m)) if rows \
+            else (lambda m, li: fn(0, m))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Mtot // bm,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((B, K), lambda m, li: (0, 0)),          # x
-            pl.BlockSpec((B, K), lambda m, li: (0, 0)),          # xx
-            pl.BlockSpec((n_in, K), lambda m, li: (0, 0)),       # mu
-            pl.BlockSpec((1, bm), lambda m, li: (0, m)),         # mx
-            pl.BlockSpec((1, bm), lambda m, li: (0, m)),         # rx
-            pl.BlockSpec((n_in, K), lambda m, li: (0, 0)),       # my
-            pl.BlockSpec((n_in, K), lambda m, li: (0, 0)),       # ry
-            pl.BlockSpec((1, K, bm), lambda m, li: (li[0], 0, m)),
+            pl.BlockSpec((Bt, K), imap(lambda b, m: (b, 0))),       # x
+            pl.BlockSpec((Bt, K), imap(lambda b, m: (b, 0))),       # xx
+            pl.BlockSpec((n_in, K), imap(lambda b, m: (0, 0))),     # mu
+            pl.BlockSpec((1, bm), imap(lambda b, m: (0, m))),       # mx
+            pl.BlockSpec((1, bm), imap(lambda b, m: (0, m))),       # rx
+            pl.BlockSpec((n_in, K), imap(lambda b, m: (0, 0))),     # my
+            pl.BlockSpec((n_in, K), imap(lambda b, m: (0, 0))),     # ry
+            pl.BlockSpec((1, K, bm), (lambda b, m, li: (li[0], 0, m)) if rows
+                         else (lambda m, li: (li[0], 0, m))),
         ],
-        out_specs=pl.BlockSpec((B, bm), lambda m, li: (0, m)),
+        out_specs=pl.BlockSpec((Bt, bm), imap(lambda b, m: (b, m))),
         scratch_shapes=[
-            pltpu.VMEM((n_in, B, K), jnp.int8),
-            pltpu.VMEM((B, 128), jnp.float32),
+            pltpu.VMEM((n_in, Bt, K), jnp.int8),
+            pltpu.VMEM((Bt, 128), jnp.float32),
         ],
     )
 
     def kernel(li_ref, *refs):
         _a8_fused_multi_kernel(*refs, n_k=n_k, n_in=n_in,
-                               tiles_per_in=tiles_per_in)
+                               tiles_per_in=tiles_per_in, m_axis=m_axis)
 
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Mtot), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], Mtot), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * Mtot,
-            bytes_accessed=K * Mtot + 2 * B * K * x.dtype.itemsize
-            + B * Mtot * x.dtype.itemsize,
+            bytes_accessed=(grid[0] * K * Mtot if rows else K * Mtot)
+            + 2 * B * K * xb + B * Mtot * xb,
             transcendentals=0,
         ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, xx, mu,
       mx.reshape(1, Mtot), rx.reshape(1, Mtot), my, ry, q_stacked)
+    return y[:B] if y.shape[0] != B else y
 
 
 def _a8_ffn_kernel(li_ref, x_ref, mxk_ref, rxk_ref, myk_ref, ryk_ref, qk_ref,
                    mxv_ref, rxv_ref, myv_ref, ryv_ref, qv_ref, o_ref,
-                   x8_ref, k_ref, k8_ref, stats_ref, *, nk_x, nk_f, n1, bm1):
+                   x8_ref, k_ref, k8_ref, stats_ref, *, nk_x, nk_f, n1, bm1,
+                   m_axis=0):
     """Whole relu²-FFN (CMix) in ONE kernel: y = relu(mm8(x, Wk))² @ mm8 Wv.
 
     Two-phase 1-D grid: steps [0, n1) stream Wk tiles and write the relu²'d
@@ -531,7 +585,7 @@ def _a8_ffn_kernel(li_ref, x_ref, mxk_ref, rxk_ref, myk_ref, ryk_ref, qk_ref,
     kernel-launch ramp. stats cols: 0-3 = x-side [s, xs_sum, x_sum, xmy_sum],
     4-7 = the same for the intermediate."""
     f32 = jnp.float32
-    pid = pl.program_id(0)
+    pid = pl.program_id(m_axis)
 
     def quant_into(xf, ry_v, my_v, base):
         x8, s, xs_sum, x_sum, xmy_sum = _quant_rows(xf, ry_v, my_v)
@@ -574,14 +628,18 @@ def _a8_ffn_kernel(li_ref, x_ref, mxk_ref, rxk_ref, myk_ref, ryk_ref, qk_ref,
         o_ref[:] = y.astype(o_ref.dtype)
 
 
-_MAX_FFN_SCRATCH = 256 * 16384  # (B, d_ffn) bf16+int8 scratch cap (~10MB)
+def mm8_fused_supported(B: int, K: int, M: int) -> bool:
+    """Shape predicate for the fused a8 kernels (mm8_fused_a8[_stacked],
+    mm8_fused_a8_multi_stacked). Any row count B: large-B shapes run the
+    row-tiled grid, so only the M tiling must work out."""
+    return bool(_pick_bm(K, M))
 
 
 def mm8_ffn_supported(B: int, K: int, F: int, M: int) -> bool:
     """M is the second GEMM's output dim — checked with the same _pick_bm the
-    kernel uses (M == K for CMix, but the predicate must not assume it)."""
-    return bool(_pick_bm(K, F) and _pick_bm(F, M)
-                and B * K <= _MAX_RESIDENT_X and B * F <= _MAX_FFN_SCRATCH)
+    kernel uses (M == K for CMix, but the predicate must not assume it).
+    Any B: prefill row counts run the row-tiled grid."""
+    return bool(_pick_bm(K, F) and _pick_bm(F, M))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -606,6 +664,21 @@ def mm8_fused_a8_ffn_stacked(x, kmx, krx, kmy, kry, qk_stacked,
     n2 = M // bm2
     nk_x = _pick_nk(K)
     nk_f = _pick_nk(F)
+    xb = x.dtype.itemsize
+
+    # per row: x resident (bf16+int8) + the (., F) intermediate (bf16+int8)
+    per_row = K * (xb + 1) + F * (xb + 1)
+    resident = B * per_row + 2 * (K * bm1 + F * bm2) + 2 * B * bm2 * xb
+    if resident <= _RESIDENT_BUDGET:
+        Bt, rows, m_axis = B, False, 0
+        grid = (n1 + n2,)
+    else:
+        Bt = _pick_row_tile(B, per_row + 2 * bm2 * xb)
+        rows, m_axis = True, 1
+        pad = (-B) % Bt
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        grid = ((B + pad) // Bt, n1 + n2)
 
     def clamp1(m):
         return jnp.minimum(m, n1 - 1)
@@ -613,45 +686,54 @@ def mm8_fused_a8_ffn_stacked(x, kmx, krx, kmy, kry, qk_stacked,
     def clamp2(m):
         return jnp.clip(m - n1, 0, n2 - 1)
 
+    def imap(fn):  # grid idx (m,)|(b, m), + scalar-prefetched li
+        return (lambda b, m, li: fn(b, m)) if rows \
+            else (lambda m, li: fn(0, m))
+
+    def qmap(fn):  # weight specs need li too
+        return (lambda b, m, li: fn(m, li)) if rows \
+            else (lambda m, li: fn(m, li))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n1 + n2,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((B, K), lambda m, li: (0, 0)),           # x
-            pl.BlockSpec((1, bm1), lambda m, li: (0, clamp1(m))),  # k mx
-            pl.BlockSpec((1, bm1), lambda m, li: (0, clamp1(m))),  # k rx
-            pl.BlockSpec((1, K), lambda m, li: (0, 0)),            # k my
-            pl.BlockSpec((1, K), lambda m, li: (0, 0)),            # k ry
-            pl.BlockSpec((1, K, bm1), lambda m, li: (li[0], 0, clamp1(m))),
-            pl.BlockSpec((1, bm2), lambda m, li: (0, clamp2(m))),  # v mx
-            pl.BlockSpec((1, bm2), lambda m, li: (0, clamp2(m))),  # v rx
-            pl.BlockSpec((1, F), lambda m, li: (0, 0)),            # v my
-            pl.BlockSpec((1, F), lambda m, li: (0, 0)),            # v ry
-            pl.BlockSpec((1, F, bm2), lambda m, li: (li[0], 0, clamp2(m))),
+            pl.BlockSpec((Bt, K), imap(lambda b, m: (b, 0))),         # x
+            pl.BlockSpec((1, bm1), imap(lambda b, m: (0, clamp1(m)))),  # k mx
+            pl.BlockSpec((1, bm1), imap(lambda b, m: (0, clamp1(m)))),  # k rx
+            pl.BlockSpec((1, K), imap(lambda b, m: (0, 0))),            # k my
+            pl.BlockSpec((1, K), imap(lambda b, m: (0, 0))),            # k ry
+            pl.BlockSpec((1, K, bm1), qmap(lambda m, li: (li[0], 0, clamp1(m)))),
+            pl.BlockSpec((1, bm2), imap(lambda b, m: (0, clamp2(m)))),  # v mx
+            pl.BlockSpec((1, bm2), imap(lambda b, m: (0, clamp2(m)))),  # v rx
+            pl.BlockSpec((1, F), imap(lambda b, m: (0, 0))),            # v my
+            pl.BlockSpec((1, F), imap(lambda b, m: (0, 0))),            # v ry
+            pl.BlockSpec((1, F, bm2), qmap(lambda m, li: (li[0], 0, clamp2(m)))),
         ],
-        out_specs=pl.BlockSpec((B, bm2), lambda m, li: (0, clamp2(m))),
+        out_specs=pl.BlockSpec((Bt, bm2), imap(lambda b, m: (b, clamp2(m)))),
         scratch_shapes=[
-            pltpu.VMEM((B, K), jnp.int8),       # x8
-            pltpu.VMEM((B, F), jnp.bfloat16),   # relu² intermediate
-            pltpu.VMEM((B, F), jnp.int8),       # k8
-            pltpu.VMEM((B, 128), jnp.float32),  # stats
+            pltpu.VMEM((Bt, K), jnp.int8),       # x8
+            pltpu.VMEM((Bt, F), jnp.bfloat16),   # relu² intermediate
+            pltpu.VMEM((Bt, F), jnp.int8),       # k8
+            pltpu.VMEM((Bt, 128), jnp.float32),  # stats
         ],
     )
 
     def kernel(li_ref, *refs):
-        _a8_ffn_kernel(li_ref, *refs, nk_x=nk_x, nk_f=nk_f, n1=n1, bm1=bm1)
+        _a8_ffn_kernel(li_ref, *refs, nk_x=nk_x, nk_f=nk_f, n1=n1, bm1=bm1,
+                       m_axis=m_axis)
 
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, M), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], M), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * F + 2 * B * F * M,
-            bytes_accessed=K * F + F * M + B * K * x.dtype.itemsize
-            + B * M * x.dtype.itemsize,
+            bytes_accessed=(grid[0] * (K * F + F * M) if rows
+                            else (K * F + F * M)) + B * K * xb + B * M * xb,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -660,6 +742,7 @@ def mm8_fused_a8_ffn_stacked(x, kmx, krx, kmy, kry, qk_stacked,
       kry.reshape(1, K), qk_stacked,
       vmx.reshape(1, M), vrx.reshape(1, M), vmy.reshape(1, F),
       vry.reshape(1, F), qv_stacked)
+    return y[:B] if y.shape[0] != B else y
 
 
 def mm8_core_supported(B: int, K: int, M: int) -> bool:

@@ -121,8 +121,10 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
     f32 = jnp.float32
     seg, segT = _seg_matrices(HN, H)
 
-    elapsed = elapsed_ref[:]                          # (Bt, 1) int32
-    length = length_ref[:]                            # (Bt, 1) int32
+    # (Bt, 1, 1) blocks (trailing unit dims keep Bt a leading dim — a 2-D
+    # (Bt, 1) block would put Bt on the sublane, illegal for Bt < 8)
+    elapsed = elapsed_ref[:].reshape(Bt, 1)           # int32
+    length = length_ref[:].reshape(Bt, 1)             # int32
 
     S0 = state_ref[0].astype(f32)                     # (Bt, N, HN)
 
@@ -138,7 +140,11 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
         d1 = 1.0 + _decay_row(w_row, elapsed + t, use_dither)
         # fold the activity mask into the cheap (Bt, 1, HN) rows (d1=1, k=0,
         # b=0 make S_new == S elementwise) instead of a full-state
-        # (Bt, N, HN) select — the kernel is VPU-bound, every pass counts
+        # (Bt, N, HN) select — the kernel is VPU-bound, every pass counts.
+        # INVARIANT: this bit-preserves an inactive slot's state only while
+        # its v/r/a rows are finite (0*Inf = NaN would poison it); guaranteed
+        # because slots are reset/insert-zeroed on admission, so inactive rows
+        # always carry previously-valid activations
         d1 = jnp.where(active, d1, 1.0)
         k_row = jnp.where(active, k_row, 0.0)
         b_row = jnp.where(active, b_row, 0.0)
@@ -265,7 +271,8 @@ def wkv7_pallas_step_fused(state, layer, r, w_raw, k_raw, a_iclr, v_nh,
     B, HN = r.shape
     N = _N
     H = HN // N
-    Bt = _pick_batch_tile(B, 1, HN)
+    Bt = _pick_batch_tile(B, 1, HN, row_isz=r.dtype.itemsize,
+                          state_isz=state.dtype.itemsize)
 
     def bspec(*tile):
         return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
@@ -329,7 +336,8 @@ def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,
     B, HN = r.shape
     N = _N
     H = HN // N
-    Bt = _pick_batch_tile(B, 1, HN)
+    Bt = _pick_batch_tile(B, 1, HN, row_isz=r.dtype.itemsize,
+                          state_isz=state.dtype.itemsize)
 
     def bspec(*tile):
         return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
@@ -373,21 +381,52 @@ def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,
     return y, state_out
 
 
-def _pick_batch_tile(B: int, T: int, HN: int) -> int:
+def _pick_batch_tile(B: int, T: int, HN: int, *, row_isz: int = 2,
+                     state_isz: int = 2) -> int:
     """Largest Bt with the program's VMEM footprint ~under 68MB (state f32 tile +
-    double-buffered bf16 staging of state/rows), so Mosaic can still double-buffer.
-    Bt is the SUBLANE dim of the 2-D (Bt, HN) row blocks, so Mosaic requires
-    Bt % 8 == 0 (or Bt == B, a single whole-array block). Swept at 7.2B decode:
-    Bt 8..24 all land 71.9-73.0% of state-traffic SOL — the choice is loose."""
+    double-buffered staging of state/rows), so Mosaic can still double-buffer.
+
+    Sublane rule: for T == 1 the row blocks are 2-D (Bt, HN), so Bt IS the
+    sublane dim and Mosaic requires Bt % 8 == 0 (or Bt == B, a single
+    whole-array block). For T > 1 the blocks are (Bt, T, HN) — T is the
+    sublane — so Bt is an unconstrained leading dim and small tiles (4/2/1)
+    are legal (and required: at B=200, T=64, HN=4096 nothing >= 8 fits VMEM).
+
+    VMEM model (validated against the compiler's allocation report): the
+    "i-on-sublane" v/y blocks end in the head dim H, which pads up to a full
+    128-lane tile in VMEM — at H=64 that doubles their window, at tiny test H
+    it dominates everything (a f32[16,64,64,8] window allocates 32MB).
+
+    Swept at 7.2B decode: Bt 8..24 all land 71.9-73.0% of state-traffic SOL —
+    the choice is loose. Raises if even Bt=1 (or, at T==1 with B % 8 != 0,
+    Bt=B) exceeds the budget, instead of emitting a program that fails deep in
+    Mosaic."""
+    H = HN // _N
+    H_pad = -(-H // 128) * 128  # lane dim of the (.., N, H) v/y blocks
+    # T>1 row blocks are (Bt, T, HN) with T on the sublane; T=1 uses 2-D
+    # (Bt, HN) blocks where Bt itself is the (already-8-aligned) sublane
+    T_pad = T
+
+    def footprint(bt: int) -> int:
+        return (bt * _N * HN * 4                       # S carry f32
+                + 2 * 2 * bt * _N * HN * state_isz     # state in/out x2 buf
+                + 2 * 5 * bt * T_pad * HN * row_isz    # r,w,k,a,b x2 buf
+                + 2 * 2 * bt * T * _N * H_pad * row_isz)  # v,y (lane-padded)
+
+    budget = 68 * 1024 * 1024
     for bt in (24, 16, 8, 4, 2, 1):
-        if B % bt or (bt % 8 and bt != B):
+        if B % bt:
             continue
-        footprint = (bt * _N * HN * 4                 # S carry f32
-                     + 2 * 2 * bt * _N * HN * 2       # state in/out staging x2
-                     + 2 * 7 * bt * T * HN * 2)       # r,w,k,a,b,v2,y2 staging x2
-        if footprint <= 68 * 1024 * 1024:
+        if T == 1 and bt % 8 and bt != B:
+            continue  # sublane rule (only binds the 2-D T=1 blocks)
+        if footprint(bt) <= budget:
             return bt
-    return B
+    if T == 1 and B % 8 and footprint(B) <= budget:
+        return B  # whole-array block: the one legal non-%8 tile
+    raise ValueError(
+        f"no WKV batch tile fits VMEM for B={B}, T={T}, HN={HN}"
+        + (" (batch sizes divisible by 8 tile best for decode)"
+           if T == 1 and B % 8 else ""))
 
 
 @functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
@@ -404,7 +443,8 @@ def _wkv7_pallas_call(state, layer, r, w_raw, k, a, b, v2, elapsed, lengths, *,
     B, T, HN = r.shape
     N = _N
     H = HN // N
-    Bt = _pick_batch_tile(B, T, HN)
+    Bt = _pick_batch_tile(B, T, HN, row_isz=r.dtype.itemsize,
+                          state_isz=state.dtype.itemsize)
 
     def bspec(*tile):
         return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
@@ -426,8 +466,8 @@ def _wkv7_pallas_call(state, layer, r, w_raw, k, a, b, v2, elapsed, lengths, *,
             bspec(T, HN),      # a
             bspec(T, HN),      # b
             bspec(T, N, H),    # v2
-            bspec(1),          # elapsed (Bt, 1) i32
-            bspec(1),          # lengths (Bt, 1) i32
+            bspec(1, 1),       # elapsed (Bt, 1, 1) i32
+            bspec(1, 1),       # lengths (Bt, 1, 1) i32
         ],
         out_specs=[
             bspec(T, N, H),    # y2
@@ -454,7 +494,7 @@ def _wkv7_pallas_call(state, layer, r, w_raw, k, a, b, v2, elapsed, lengths, *,
             transcendentals=B * T * HN,
         ),
     )(jnp.asarray(layer, jnp.int32).reshape(1), state, r, w_raw, k, a, b, v2,
-      elapsed[:, None], lengths[:, None])
+      elapsed[:, None, None], lengths[:, None, None])
     return y2, state_out
 
 

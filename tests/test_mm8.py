@@ -356,3 +356,91 @@ def test_fused_ffn_pair_matches_two_step(rng):
         ref = np.asarray(mm8_fused_a8(kk, wv.mx, wv.rx, wv.my, wv.ry, wv.q,
                                       interpret=True))
         np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_fused_a8_row_tiled_matches_decomposed(rng, monkeypatch):
+    """Prefill-shape dispatch: with the resident budget forced to 0 the fused
+    kernel runs its 2-D (row-block, M-tile) grid — including a non-dividing
+    row count that exercises the pad-and-slice path — and must match the same
+    math via the xla_a8 decomposed form."""
+    import chirrup_tpu.ops.mm8 as mm8mod
+    import chirrup_tpu.ops.mm8_pallas as mp
+    from chirrup_tpu.ops.mm8 import quantize
+    from chirrup_tpu.ops.mm8_pallas import mm8_fused_a8, mm8_fused_a8_stacked
+
+    monkeypatch.setattr(mp, "_RESIDENT_BUDGET", 0)
+    K, M = 256, 256
+    w = rng.standard_normal((K, M)).astype(np.float32) * 0.05 + 0.01
+    qw = quantize(w)
+    for B in (24, 20):  # 24 = 3 exact row blocks of 8; 20 = pad to 24
+        x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+        ref = np.asarray(mm8_matmul(x, qw, core=mm8mod._int8_core_xla_a8))
+        out = np.asarray(mm8_fused_a8(x, qw.mx, qw.rx, qw.my, qw.ry, qw.q,
+                                      interpret=True))
+        assert out.shape == (B, M)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    # stacked flavor on the row grid
+    L, B = 2, 24
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    qs = [quantize(rng.standard_normal((K, M)).astype(np.float32) * 0.04)
+          for _ in range(L)]
+    stacked_q = jnp.stack([q.q for q in qs])
+    for li in range(L):
+        ref = np.asarray(mm8_matmul(x, qs[li], core=mm8mod._int8_core_xla_a8))
+        out = np.asarray(mm8_fused_a8_stacked(
+            x, qs[li].mx, qs[li].rx, qs[li].my, qs[li].ry, stacked_q, li,
+            interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_a8_multi_row_tiled_matches_separate(rng, monkeypatch):
+    """Row-tiled merged R/K/V kernel == per-projection fused calls."""
+    import chirrup_tpu.ops.mm8_pallas as mp
+    from chirrup_tpu.ops.mm8 import quantize
+    from chirrup_tpu.ops.mm8_pallas import (
+        mm8_fused_a8, mm8_fused_a8_multi_stacked)
+
+    B, K, C, n_in = 24, 256, 256, 3
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    xx = jnp.asarray(rng.standard_normal((B, K)), jnp.float32) * 0.3
+    mu = jnp.asarray(rng.standard_normal((n_in, K)), jnp.float32) * 0.5
+    qs = [quantize(rng.standard_normal((K, C)).astype(np.float32) * 0.05)
+          for _ in range(n_in)]
+    q_cat = jnp.concatenate([w.q for w in qs], axis=1)[None]   # (1, K, 3C)
+    mx = jnp.concatenate([w.mx for w in qs])
+    rx = jnp.concatenate([w.rx for w in qs])
+    my = jnp.stack([w.my for w in qs])
+    ry = jnp.stack([w.ry for w in qs])
+    refs = [np.asarray(mm8_fused_a8(x + xx * mu[m], w.mx, w.rx, w.my, w.ry,
+                                    w.q, interpret=True))
+            for m, w in enumerate(qs)]
+    monkeypatch.setattr(mp, "_RESIDENT_BUDGET", 0)
+    out = np.asarray(mm8_fused_a8_multi_stacked(
+        x, xx, mu, mx, rx, my, ry, q_cat, 0, interpret=True))
+    for m in range(n_in):
+        np.testing.assert_allclose(out[:, m * C:(m + 1) * C], refs[m],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ffn_row_tiled_matches_resident(rng, monkeypatch):
+    """Row-tiled FFN pair (per-row-block VMEM intermediate) == two-step fused."""
+    import chirrup_tpu.ops.mm8_pallas as mp
+    from chirrup_tpu.ops.mm8 import quantize
+    from chirrup_tpu.ops.mm8_pallas import (
+        mm8_fused_a8, mm8_fused_a8_ffn_stacked)
+
+    B, K, F = 24, 256, 512
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    wk = quantize(rng.standard_normal((K, F)).astype(np.float32) * 0.1)
+    wv = quantize(rng.standard_normal((F, K)).astype(np.float32) * 0.1)
+    kk = mm8_fused_a8(x, wk.mx, wk.rx, wk.my, wk.ry, wk.q,
+                      interpret=True, activation="relu2")
+    kk = kk.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = np.asarray(mm8_fused_a8(kk, wv.mx, wv.rx, wv.my, wv.ry, wv.q,
+                                  interpret=True))
+    monkeypatch.setattr(mp, "_RESIDENT_BUDGET", 0)
+    out = np.asarray(mm8_fused_a8_ffn_stacked(
+        x, wk.mx, wk.rx, wk.my, wk.ry, wk.q[None],
+        wv.mx, wv.rx, wv.my, wv.ry, wv.q[None], 0, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
