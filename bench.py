@@ -90,96 +90,16 @@ def _sig_handler(signum, frame):
 
 
 def build_random_int8_params(cfg, key, dtype, use_numpy=False):
-    """Parameter pytree with Mm8Weight big mats, random codes/scales (bench-only).
-
-    use_numpy generates on host (fast on CPU backends where jax's threefry is
-    ~20x slower than numpy); default generates on-device INSIDE ONE jit so the
-    whole ~7 GB tree is a single compile + dispatch (per-tensor dispatch through
-    the axon tunnel measured 209 s for the 1.5B tree; one fused program is
-    seconds and its compile persists in .jax_cache)."""
+    """Thin wrapper over chirrup_tpu.models.loader.synthetic_params_int8 (the
+    builder moved into the library so the server's --synthetic_model path can
+    serve the same 7.2B INT8 model the bench measures). key: only its seed
+    lineage matters; pass seed via jax.random.key(seed)."""
     import jax
-    import jax.numpy as jnp
-    from chirrup_tpu.ops.mm8 import Mm8Weight
+    from chirrup_tpu.models.loader import synthetic_params_int8
 
-    L, C, V, F = cfg.n_layer, cfg.n_embd, cfg.vocab_size, cfg.d_ffn
-    Dw, Da, Dv, Dg = (cfg.d_decay_lora, cfg.d_iclr_lora, cfg.d_v_lora,
-                      cfg.d_gate_lora)
-
-    def _tree(dense, q8):
-        return _param_tree_literal(L, C, V, F, Dw, Da, Dv, Dg, dense, q8)
-
-    if use_numpy:
-        np_rng = np.random.default_rng(np.uint32(jax.random.bits(key)))
-
-        def dense(*shape, scale=0.02):
-            return jnp.asarray(
-                np_rng.standard_normal(shape, np.float32) * scale, dtype)
-
-        def q8(*shape, rx_full=0.04, ry_full=0.002):
-            codes = jnp.asarray(
-                np_rng.integers(-128, 128, shape, np.int8, endpoint=False))
-            return _mm8_from_codes(Mm8Weight, jnp, codes, shape,
-                                   rx_full, ry_full)
-
-        return _tree(dense, q8)
-
-    @jax.jit
-    def _gen(key):
-        ks = iter(jax.random.split(key, 64))
-
-        def dense(*shape, scale=0.02):
-            return (jax.random.normal(next(ks), shape, jnp.float32)
-                    * scale).astype(dtype)
-
-        def q8(*shape, rx_full=0.04, ry_full=0.002):
-            codes = jax.random.randint(next(ks), shape, -128, 128, jnp.int8)
-            return _mm8_from_codes(Mm8Weight, jnp, codes, shape,
-                                   rx_full, ry_full)
-
-        return _tree(dense, q8)
-
-    return _gen(key)
-
-
-def _mm8_from_codes(Mm8Weight, jnp, codes, shape, rx_full, ry_full):
-    K, M, lead = shape[-2], shape[-1], shape[:-2]
-    return Mm8Weight(
-        q=codes,
-        mx=jnp.zeros(lead + (M,), jnp.float32),
-        rx=jnp.full(lead + (M,), rx_full / 16, jnp.float32),
-        my=jnp.zeros(lead + (K,), jnp.float32),
-        ry=jnp.full(lead + (K,), ry_full / 16, jnp.float32),
-    )
-
-
-def _param_tree_literal(L, C, V, F, Dw, Da, Dv, Dg, dense, q8):
-    att = {
-        "x_r": dense(L, C), "x_w": dense(L, C), "x_k": dense(L, C),
-        "x_v": dense(L, C), "x_a": dense(L, C), "x_g": dense(L, C),
-        "w0": dense(L, C), "w1": dense(L, C, Dw), "w2": dense(L, Dw, C),
-        "a0": dense(L, C), "a1": dense(L, C, Da), "a2": dense(L, Da, C),
-        "v0": dense(L, C), "v1": dense(L, C, Dv), "v2": dense(L, Dv, C),
-        "g1": dense(L, C, Dg), "g2": dense(L, Dg, C),
-        "k_k": dense(L, C, scale=1.0), "k_a": dense(L, C, scale=1.0),
-        "r_k": dense(L, C // 64, 64),
-        "Wr": q8(L, C, C), "Wk": q8(L, C, C), "Wv": q8(L, C, C), "Wo": q8(L, C, C),
-        "ln_x_w": dense(L, C, scale=1.0), "ln_x_b": dense(L, C),
-    }
-    ffn = {"x_k": dense(L, C), "Wk": q8(L, C, F), "Wv": q8(L, F, C)}
-    blocks = {
-        "ln1_w": dense(L, C, scale=1.0), "ln1_b": dense(L, C),
-        "ln2_w": dense(L, C, scale=1.0), "ln2_b": dense(L, C),
-        "att": att, "ffn": ffn,
-    }
-    return {
-        "emb": dense(V, C, scale=1.0),
-        "blocks": blocks,
-        # head scales sized so logits concentrate like a trained model's (top-1k
-        # softmax mass >> top_p) — otherwise the sampler's exact-fallback path runs
-        # every step, which real checkpoints essentially never hit
-        "ln_out_w": dense(C, scale=1.0), "ln_out_b": dense(C),
-        "head": q8(C, V, rx_full=0.45, ry_full=1.0),
-    }
+    seed = int(jax.random.key_data(key)[-1])
+    return synthetic_params_int8(cfg, seed=seed, dtype=dtype,
+                                 use_numpy=use_numpy)
 
 
 def _wait_for_backend(max_wait_s: float) -> bool:

@@ -80,7 +80,15 @@ def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
         )
         if model_config.synthetic_config is not None:
             cfg = RWKV7Config(**model_config.synthetic_config)
-            params = loader.synthetic_params(cfg, seed=seed)
+            if runtime.quantization == "int8":
+                # serving-dtype synthetic: random int8 codes directly (a
+                # dense f32 synthetic 7.2B tree would not fit one chip) —
+                # the full-stack benchmark model (bench.py uses the same)
+                params = loader.synthetic_params_int8(
+                    cfg, seed=seed, dtype=runtime.activation_dtype,
+                    use_numpy=jax.default_backend() == "cpu")
+            else:
+                params = loader.synthetic_params(cfg, seed=seed)
         else:
             from chirrup_tpu.models import checkpoint as ckpt
 

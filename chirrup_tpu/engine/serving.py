@@ -218,12 +218,19 @@ class ServingModel:
         # compact prefill: the scheduler caps concurrent bulk prefills at B/8
         # slots, so the chunk program only needs P = roundup8(B/8) rows — the
         # full-B masked chunk would burn 8x the MXU time on inactive rows
-        # (prefill is compute-bound: every row runs all matmuls). Two sizes
-        # compile (8 and P) so light prefill traffic runs the small program.
+        # (prefill is compute-bound: every row runs all matmuls).
+        #
+        # Two (P, T) VARIANTS compile, both with ~P*T rows (same chunk cost):
+        # a tall-narrow one for light prefill traffic and the wide one for a
+        # full prefill set. The WKV recurrence's per-token cost scales with
+        # ROWS, so when <= 8 prompts are in flight the (8, 4T) program
+        # advances each one 4x faster per chunk — the TTFT lever.
         cap = -(-batch_size // 8)               # scheduler's max_prefill_count
         P = min(batch_size, max(8, -(-cap // 8) * 8))
+        small = min(8, P)
         self.prefill_slots = P
-        self.prefill_slot_sizes = sorted({min(8, P), P})
+        self.prefill_variants = sorted(
+            {(small, prefill_chunk * (P // small)), (P, prefill_chunk)})
         self._interpret = interpret_pallas
         self.mesh = mesh
         # mm8 dispatch settings are trace-time module globals; remember ours and

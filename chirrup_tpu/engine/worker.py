@@ -501,34 +501,40 @@ class Worker:
         """One ragged chunk for every SEQ_PREFILL slot (reference _run_forward_seq,
         worker.py:744-776, without the global min-length coupling).
 
-        Normal mode runs the COMPACT program: only P = prefill_slots rows go
+        Normal mode runs a COMPACT program: only P = prefill_slots rows go
         through the model (prefill is compute-bound; the admission cap means
-        at most ~B/8 slots can be in SEQ_PREFILL). Lockstep keeps the fixed
-        full-B program (the compact row set would diverge across hosts)."""
-        T = self.model.prefill_chunk
+        at most ~B/8 slots can be in SEQ_PREFILL), and with few prompts in
+        flight the tall-narrow (small P, large T) variant advances each one
+        proportionally faster per chunk. Lockstep keeps the fixed full-B
+        program (the compact row set would diverge across hosts)."""
+        seq_ids = [idx for idx, slot in enumerate(self.slots)
+                   if slot.phase == SlotPhase.SEQ_PREFILL
+                   and len(slot.task.prefill_tokens) - slot.pad() > 0]
+        variants = getattr(self.model, "prefill_variants", None)
+        compact = (not self.lockstep and variants
+                   and any(len(seq_ids) <= P < self.batch_size
+                           for P, _ in variants))
+        if compact and not seq_ids:
+            return 0
+        if compact:
+            P, T = next((P, T) for P, T in variants if len(seq_ids) <= P)
+        else:
+            T = self.model.prefill_chunk
+
         fed: Dict[int, List[int]] = {}
-        for idx, slot in enumerate(self.slots):
-            if slot.phase != SlotPhase.SEQ_PREFILL:
-                continue
+        for idx in seq_ids:
+            slot = self.slots[idx]
             task = slot.task
             # leave pad()+1 tokens for the ONE_PREFILL/decode tail
             avail = len(task.prefill_tokens) - slot.pad()
             n = min(T, avail)
-            if n <= 0:
-                continue
             chunk = [slot.next_input] + task.prefill_tokens[:n - 1]
             task.prefill_tokens = task.prefill_tokens[n - 1:]
             slot.next_input = task.prefill_tokens.pop(0)
             slot.prefilled_tokens.extend(chunk)
             fed[idx] = chunk
 
-        sizes = getattr(self.model, "prefill_slot_sizes", None)
-        compact = (not self.lockstep and sizes
-                   and any(len(fed) <= P < self.batch_size for P in sizes))
         if compact:
-            if not fed:
-                return 0
-            P = next(P for P in sizes if len(fed) <= P)
             tokens = np.zeros((P, T), np.int32)
             lengths = np.zeros((P,), np.int32)
             slot_idx = np.zeros((P,), np.int32)
@@ -601,9 +607,27 @@ class Worker:
         else:
             self._seq_countdown = 0
 
-        if self._seq_countdown < 1 and (n_seq > 0 or self.lockstep):
-            seq_count = self._run_prefill_step()
-            self._seq_countdown = max(1, self.decode_prefill_ratio)
+        if self.lockstep:
+            # fixed ONE chunk per loop when due: the launch count per loop
+            # must be host-identical, and countdown evolves identically
+            if self._seq_countdown < 1:
+                seq_count = self._run_prefill_step()
+                self._seq_countdown = max(1, self.decode_prefill_ratio)
+        else:
+            # honor the reference's decode:prefill TOKEN ratio (one chunk per
+            # `ratio` decode tokens, worker.py:846-856): a K-step decode block
+            # owes K/ratio chunks, so drain the countdown debt — one chunk per
+            # block would starve prompt ingestion 3x at K=16, ratio=5
+            if n_seq == 0:
+                # no prefill work: don't accrue debt that would burst-fire
+                # chunks when a prompt finally arrives
+                self._seq_countdown = max(self._seq_countdown, 0)
+            while self._seq_countdown < 1 and n_seq > 0:
+                fed = self._run_prefill_step()
+                seq_count += fed
+                self._seq_countdown += max(1, self.decode_prefill_ratio)
+                if fed == 0:
+                    break
 
         # read the PREVIOUS step's tokens while the dispatched work executes
         self._process_pending()

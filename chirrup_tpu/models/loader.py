@@ -219,3 +219,97 @@ def parameter_groups(params):
     groups.append({"name": "post", "size_mb": post_b / 2**20,
                    "n_arrays": post_n})
     return groups
+
+
+def synthetic_params_int8(config: RWKV7Config, seed: int = 0,
+                          dtype=jnp.bfloat16, use_numpy: bool = False):
+    """Parameter pytree with Mm8Weight big mats, random codes/scales — the
+    serving-dtype synthetic model for benchmarks and full-stack load tests
+    (identical compute/memory behavior to a real INT8 checkpoint at ~1/4 the
+    load time; a dense synthetic 7.2B f32 tree would not even fit one chip).
+
+    use_numpy generates on host (fast on CPU backends where jax's threefry is
+    ~20x slower than numpy); default generates on-device INSIDE ONE jit so the
+    whole ~7 GB tree is a single compile + dispatch."""
+    import jax
+    from chirrup_tpu.ops.mm8 import Mm8Weight
+
+    L, C, V, F = (config.n_layer, config.n_embd, config.vocab_size,
+                  config.d_ffn)
+    Dw, Da, Dv, Dg = (config.d_decay_lora, config.d_iclr_lora,
+                      config.d_v_lora, config.d_gate_lora)
+
+    def _mm8_from_codes(codes, shape, rx_full, ry_full):
+        K, M, lead = shape[-2], shape[-1], shape[:-2]
+        return Mm8Weight(
+            q=codes,
+            mx=jnp.zeros(lead + (M,), jnp.float32),
+            rx=jnp.full(lead + (M,), rx_full / 16, jnp.float32),
+            my=jnp.zeros(lead + (K,), jnp.float32),
+            ry=jnp.full(lead + (K,), ry_full / 16, jnp.float32),
+        )
+
+    def _tree(dense, q8):
+        att = {
+            "x_r": dense(L, C), "x_w": dense(L, C), "x_k": dense(L, C),
+            "x_v": dense(L, C), "x_a": dense(L, C), "x_g": dense(L, C),
+            "w0": dense(L, C), "w1": dense(L, C, Dw), "w2": dense(L, Dw, C),
+            "a0": dense(L, C), "a1": dense(L, C, Da), "a2": dense(L, Da, C),
+            "v0": dense(L, C), "v1": dense(L, C, Dv), "v2": dense(L, Dv, C),
+            "g1": dense(L, C, Dg), "g2": dense(L, Dg, C),
+            "k_k": dense(L, C, scale=1.0), "k_a": dense(L, C, scale=1.0),
+            "r_k": dense(L, C // 64, 64),
+            "Wr": q8(L, C, C), "Wk": q8(L, C, C), "Wv": q8(L, C, C),
+            "Wo": q8(L, C, C),
+            "ln_x_w": dense(L, C, scale=1.0), "ln_x_b": dense(L, C),
+        }
+        ffn = {"x_k": dense(L, C), "Wk": q8(L, C, F), "Wv": q8(L, F, C)}
+        blocks = {
+            "ln1_w": dense(L, C, scale=1.0), "ln1_b": dense(L, C),
+            "ln2_w": dense(L, C, scale=1.0), "ln2_b": dense(L, C),
+            "att": att, "ffn": ffn,
+        }
+        return {
+            "emb": dense(V, C, scale=1.0),
+            "blocks": blocks,
+            # head scales sized so logits concentrate like a trained model's
+            # (top-1k softmax mass >> top_p) — otherwise the sampler's exact-
+            # fallback runs every step, which real checkpoints never hit
+            "ln_out_w": dense(C, scale=1.0), "ln_out_b": dense(C),
+            "head": q8(C, V, rx_full=0.45, ry_full=1.0),
+        }
+
+    if use_numpy:
+        import jax
+
+        np_rng = np.random.default_rng(np.uint32(
+            jax.random.bits(jax.random.key(seed))))
+
+        def dense(*shape, scale=0.02):
+            return jnp.asarray(
+                np_rng.standard_normal(shape, np.float32) * scale, dtype)
+
+        def q8(*shape, rx_full=0.04, ry_full=0.002):
+            codes = jnp.asarray(
+                np_rng.integers(-128, 128, shape, np.int8, endpoint=False))
+            return _mm8_from_codes(codes, shape, rx_full, ry_full)
+
+        return _tree(dense, q8)
+
+    import jax
+
+    @jax.jit
+    def _gen(key):
+        ks = iter(jax.random.split(key, 64))
+
+        def dense(*shape, scale=0.02):
+            return (jax.random.normal(next(ks), shape, jnp.float32)
+                    * scale).astype(dtype)
+
+        def q8(*shape, rx_full=0.04, ry_full=0.002):
+            codes = jax.random.randint(next(ks), shape, -128, 128, jnp.int8)
+            return _mm8_from_codes(codes, shape, rx_full, ry_full)
+
+        return _tree(dense, q8)
+
+    return _gen(jax.random.key(seed))

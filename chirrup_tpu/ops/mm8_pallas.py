@@ -340,12 +340,48 @@ def _fused_specs(Bt, K, M, bm, stacked=False, rows=False):
             pl.BlockSpec((Bt, bm), imap(lambda b, m: (b, m))))  # out
 
 
+def _xq_stats(x, my, ry):
+    """XLA-side activation quantization + decomposed-dequant row stats (the
+    same math as the in-kernel _quant_rows, hoisted out for large row counts).
+    Returns (x8 (B, K) int8, stats (B, 4) f32 [s, xs_sum, x_sum, xmy_sum])."""
+    xf = x.astype(jnp.float32)
+    myf = my.reshape(1, -1).astype(jnp.float32)
+    ryf = ry.reshape(1, -1).astype(jnp.float32)
+    xs_f = xf * (ryf * 16.0)
+    s = jnp.maximum(jnp.max(jnp.abs(xs_f), axis=1, keepdims=True) / 127.0,
+                    1e-20)
+    x8 = jnp.round(xs_f / s).astype(jnp.int8)
+    stats = jnp.concatenate(
+        [s, jnp.sum(xs_f, axis=1, keepdims=True),
+         jnp.sum(xf, axis=1, keepdims=True),
+         jnp.sum(xf * myf, axis=1, keepdims=True)], axis=1)
+    return x8, stats
+
+
+def _a8_xq_kernel(x8_ref, stats_ref, mx_ref, rx_ref, q_ref, o_ref, *,
+                  n_k, activation=None):
+    """GEMM + dequant-corrections with PRE-quantized activations: x8 stays
+    whole in VMEM (int8 — 4x smaller than bf16 + scratch, so prefill row
+    counts fit resident and the weights stream exactly once)."""
+    f32 = jnp.float32
+    acc = _int8_split_dot(x8_ref[:], q_ref[:], n_k)
+    y = _dequant_tile(acc, rx_ref[:].astype(f32), mx_ref[:].astype(f32),
+                      stats_ref[:, 0:1], stats_ref[:, 1:2],
+                      stats_ref[:, 2:3], stats_ref[:, 3:4])
+    o_ref[:] = _apply_activation(y, activation).astype(o_ref.dtype)
+
+
 def _fused_a8_call(x, mx, rx, my, ry, q, layer, *, interpret, activation):
-    """Shared implementation of the fused single-projection kernels: picks
-    VMEM-resident x (1-D M grid, one weight read) when it fits, else a 2-D
-    (row-block, M-tile) grid that streams x row blocks (prefill shapes: B is
-    slots x chunk tokens; weights are re-read once per row block, amortized
-    over the compute-bound GEMM)."""
+    """Shared implementation of the fused single-projection kernels. Three
+    regimes by row count (B may be slots x chunk tokens at prefill):
+
+    1. resident: x whole in VMEM, quantized in-kernel on the first M tile —
+       zero XLA elementwise passes (the decode path).
+    2. xq-resident: activations quantized ONCE in XLA; the int8 x (4x
+       smaller) stays resident so the weights still stream exactly once.
+    3. row-grid: 2-D (row-block, M-tile) grid; weights re-stream once per
+       row block, amortized over the compute-bound GEMM.
+    """
     B, K = x.shape
     stacked = layer is not None
     M = q.shape[-1]
@@ -355,13 +391,59 @@ def _fused_a8_call(x, mx, rx, my, ry, q, layer, *, interpret, activation):
     n_k = _pick_nk(K)
     xb = x.dtype.itemsize
 
-    resident = B * K * (xb + 1) + 2 * K * bm + 2 * B * bm * xb + 512 * B
+    # in-kernel quant transiently materializes ~two (B, K) f32 copies
+    out2 = 2 * B * bm * xb
+    resident = B * (K * (xb + 1) + 8 * K) + 2 * K * bm + out2 + 512 * B
+    xq_resident = B * (K + 16) + 2 * K * bm + out2
     if resident <= _RESIDENT_BUDGET:
         Bt, rows = B, False
         grid = (M // bm,)
         m_axis = 0
+    elif xq_resident <= _RESIDENT_BUDGET:
+        x8, stats = _xq_stats(x, my, ry)
+        grid_spec_in = [
+            pl.BlockSpec((B, K), (lambda m, li: (0, 0)) if stacked
+                         else (lambda m: (0, 0))),
+            pl.BlockSpec((B, 4), (lambda m, li: (0, 0)) if stacked
+                         else (lambda m: (0, 0))),
+            pl.BlockSpec((1, bm), (lambda m, li: (0, m)) if stacked
+                         else (lambda m: (0, m))),
+            pl.BlockSpec((1, bm), (lambda m, li: (0, m)) if stacked
+                         else (lambda m: (0, m))),
+            pl.BlockSpec((1, K, bm), (lambda m, li: (li[0], 0, m)))
+            if stacked else pl.BlockSpec((K, bm), lambda m: (0, m)),
+        ]
+        o_spec = pl.BlockSpec((B, bm), (lambda m, li: (0, m)) if stacked
+                              else (lambda m: (0, m)))
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024)
+        cost = pl.CostEstimate(
+            flops=2 * B * K * M,
+            bytes_accessed=K * M + B * K + B * M * xb, transcendentals=0)
+        out_shape = jax.ShapeDtypeStruct((B, M), x.dtype)
+        if stacked:
+            def kernel(li_ref, x8_ref, st_ref, mx_ref, rx_ref, q_ref, o_ref):
+                _a8_xq_kernel(x8_ref, st_ref, mx_ref, rx_ref, q_ref[0],
+                              o_ref, n_k=n_k, activation=activation)
+
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1, grid=(M // bm,),
+                    in_specs=grid_spec_in, out_specs=o_spec),
+                out_shape=out_shape, compiler_params=cparams,
+                cost_estimate=cost, interpret=interpret,
+            )(jnp.asarray(layer, jnp.int32).reshape(1), x8, stats,
+              mx.reshape(1, M), rx.reshape(1, M), q)
+        return pl.pallas_call(
+            functools.partial(_a8_xq_kernel, n_k=n_k, activation=activation),
+            grid=(M // bm,), in_specs=grid_spec_in, out_specs=o_spec,
+            out_shape=out_shape, compiler_params=cparams,
+            cost_estimate=cost, interpret=interpret,
+        )(x8, stats, mx.reshape(1, M), rx.reshape(1, M), q)
     else:
-        Bt = _pick_row_tile(B, K * (xb + 1) + 2 * bm * xb)
+        Bt = _pick_row_tile(B, K * (xb + 1) + 8 * K + 2 * bm * xb)
         rows = True
         pad = (-B) % Bt
         if pad:
@@ -511,12 +593,65 @@ def mm8_fused_a8_multi_stacked(x, xx, mu, mx, rx, my, ry, q_stacked, layer, *,
     xb = x.dtype.itemsize
 
     # per row: x + xx resident (bf16) + n_in int8 scratch variants
-    resident = B * K * (2 * xb + n_in) + 2 * K * bm + 2 * B * bm * xb
+    # (+ ~two transient (., K) f32 copies during in-kernel quant)
+    out2 = 2 * B * bm * xb
+    resident = B * (K * (2 * xb + n_in) + 8 * K) + 2 * K * bm + out2
+    xq_resident = B * (n_in * K + 16 * n_in) + 2 * K * bm + out2
     if resident <= _RESIDENT_BUDGET:
         Bt, rows, m_axis = B, False, 0
         grid = (Mtot // bm,)
+    elif xq_resident <= _RESIDENT_BUDGET:
+        # pre-quantized variants: mix + quantize in XLA once, keep the n_in
+        # int8 copies resident, stream the merged weights exactly once
+        x8s, stats = [], []
+        for m in range(n_in):
+            x8_m, st_m = _xq_stats(x + xx * mu[m], my[m], ry[m])
+            x8s.append(x8_m)
+            stats.append(st_m)
+        x8 = jnp.stack(x8s)                       # (n_in, B, K)
+        stats = jnp.concatenate(stats, axis=1)    # (B, 4*n_in)
+
+        def kernel(li_ref, x8_ref, st_ref, mx_ref, rx_ref, q_ref, o_ref):
+            which = pl.program_id(0) // tiles_per_in
+            for m in range(n_in):
+                @pl.when(which == m)
+                def _run(m=m):
+                    acc = _int8_split_dot(x8_ref[m], q_ref[0], n_k)
+                    y = _dequant_tile(
+                        acc, rx_ref[:].astype(jnp.float32),
+                        mx_ref[:].astype(jnp.float32),
+                        st_ref[:, 4 * m + 0:4 * m + 1],
+                        st_ref[:, 4 * m + 1:4 * m + 2],
+                        st_ref[:, 4 * m + 2:4 * m + 3],
+                        st_ref[:, 4 * m + 3:4 * m + 4])
+                    o_ref[:] = y.astype(o_ref.dtype)
+
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Mtot // bm,),
+                in_specs=[
+                    pl.BlockSpec((n_in, B, K), lambda m, li: (0, 0, 0)),
+                    pl.BlockSpec((B, 4 * n_in), lambda m, li: (0, 0)),
+                    pl.BlockSpec((1, bm), lambda m, li: (0, m)),
+                    pl.BlockSpec((1, bm), lambda m, li: (0, m)),
+                    pl.BlockSpec((1, K, bm), lambda m, li: (li[0], 0, m)),
+                ],
+                out_specs=pl.BlockSpec((B, bm), lambda m, li: (0, m))),
+            out_shape=jax.ShapeDtypeStruct((B, Mtot), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * K * Mtot,
+                bytes_accessed=K * Mtot + n_in * B * K + B * Mtot * xb,
+                transcendentals=0),
+            interpret=interpret,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), x8, stats,
+          mx.reshape(1, Mtot), rx.reshape(1, Mtot), q_stacked)
     else:
-        Bt = _pick_row_tile(B, K * (2 * xb + n_in) + 2 * bm * xb)
+        Bt = _pick_row_tile(B, K * (2 * xb + n_in) + 8 * K + 2 * bm * xb)
         rows, m_axis = True, 1
         pad = (-B) % Bt
         if pad:
@@ -635,11 +770,18 @@ def mm8_fused_supported(B: int, K: int, M: int) -> bool:
     return bool(_pick_bm(K, M))
 
 
+_MAX_FFN_SCRATCH = 256 * 16384  # (B, d_ffn) bf16+int8 scratch cap (~10MB)
+
+
 def mm8_ffn_supported(B: int, K: int, F: int, M: int) -> bool:
-    """M is the second GEMM's output dim — checked with the same _pick_bm the
-    kernel uses (M == K for CMix, but the predicate must not assume it).
-    Any B: prefill row counts run the row-tiled grid."""
-    return bool(_pick_bm(K, F) and _pick_bm(F, M))
+    """Bounds for the two-phase FFN PAIR kernel: M is the second GEMM's
+    output dim — checked with the same _pick_bm the kernel uses (M == K for
+    CMix, but the predicate must not assume it). The (B, F) VMEM intermediate
+    caps the rows at decode shapes; larger row counts (prefill) fall back to
+    two fused single matmuls (mm8.mm8_ffn_matmul), each of which picks the
+    xq-resident or row-grid regime."""
+    return bool(_pick_bm(K, F) and _pick_bm(F, M)
+                and B * K <= _MAX_RESIDENT_X and B * F <= _MAX_FFN_SCRATCH)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -128,33 +128,50 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
 
     S0 = state_ref[0].astype(f32)                     # (Bt, N, HN)
 
-    def body(t, S):
-        active = (t < length)[:, :, None]                  # (Bt, 1, 1) bool
-        r_row = r_ref[:, pl.ds(t, 1), :].astype(f32)       # (Bt, 1, HN)
-        w_row = w_ref[:, pl.ds(t, 1), :].astype(f32)
-        k_row = k_ref[:, pl.ds(t, 1), :].astype(f32)
-        a_row = a_ref[:, pl.ds(t, 1), :].astype(f32)
-        b_row = b_ref[:, pl.ds(t, 1), :].astype(f32)
-        v_nh = v2_ref[:, pl.ds(t, 1)][:, 0].astype(f32)    # (Bt, N, H), i-on-sublane
+    # Token rows are loaded in GROUPS of 8: a per-token dynamic load
+    # r_ref[:, pl.ds(t, 1), :] indexes the SUBLANE dim of the (Bt, T, HN)
+    # block at an unprovably-aligned offset — Mosaic rejects it for bf16
+    # (packed sublanes). A pl.ds(g*8, 8) offset is provably 8-aligned; the
+    # 8 tokens then unroll statically over the in-register group (and the
+    # grouped DMA is cheaper than 8 row loads anyway). v2/y2 are 4-D with T
+    # on an untiled leading dim, so their per-token dynamic indexing is legal.
+    assert T % 8 == 0, T  # wrapper pads the chunk to a multiple of 8
 
-        d1 = 1.0 + _decay_row(w_row, elapsed + t, use_dither)
-        # fold the activity mask into the cheap (Bt, 1, HN) rows (d1=1, k=0,
-        # b=0 make S_new == S elementwise) instead of a full-state
-        # (Bt, N, HN) select — the kernel is VPU-bound, every pass counts.
-        # INVARIANT: this bit-preserves an inactive slot's state only while
-        # its v/r/a rows are finite (0*Inf = NaN would poison it); guaranteed
-        # because slots are reset/insert-zeroed on admission, so inactive rows
-        # always carry previously-valid activations
-        d1 = jnp.where(active, d1, 1.0)
-        k_row = jnp.where(active, k_row, 0.0)
-        b_row = jnp.where(active, b_row, 0.0)
-        S_new, y, _ = _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh,
+    def group(g, S):
+        base = g * 8
+        r_g = r_ref[:, pl.ds(base, 8), :].astype(f32)      # (Bt, 8, HN)
+        w_g = w_ref[:, pl.ds(base, 8), :].astype(f32)
+        k_g = k_ref[:, pl.ds(base, 8), :].astype(f32)
+        a_g = a_ref[:, pl.ds(base, 8), :].astype(f32)
+        b_g = b_ref[:, pl.ds(base, 8), :].astype(f32)
+        for i in range(8):
+            t = base + i
+            active = (t < length)[:, :, None]              # (Bt, 1, 1) bool
+            r_row = r_g[:, i:i + 1, :]                     # (Bt, 1, HN)
+            w_row = w_g[:, i:i + 1, :]
+            k_row = k_g[:, i:i + 1, :]
+            a_row = a_g[:, i:i + 1, :]
+            b_row = b_g[:, i:i + 1, :]
+            v_nh = v2_ref[:, pl.ds(t, 1)][:, 0].astype(f32)  # (Bt, N, H)
+
+            d1 = 1.0 + _decay_row(w_row, elapsed + t, use_dither)
+            # fold the activity mask into the cheap (Bt, 1, HN) rows (d1=1,
+            # k=0, b=0 make S_new == S elementwise) instead of a full-state
+            # (Bt, N, HN) select — the kernel is VPU-bound, every pass counts.
+            # INVARIANT: this bit-preserves an inactive slot's state only
+            # while its v/r/a rows are finite (0*Inf = NaN would poison it);
+            # guaranteed because slots are reset/insert-zeroed on admission,
+            # so inactive rows always carry previously-valid activations
+            d1 = jnp.where(active, d1, 1.0)
+            k_row = jnp.where(active, k_row, 0.0)
+            b_row = jnp.where(active, b_row, 0.0)
+            S, y, _ = _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh,
                                     seg, segT, precision)
-        y2_ref[:, pl.ds(t, 1)] = jnp.where(
-            active, y, 0.0).astype(y2_ref.dtype)[:, None]
-        return S_new
+            y2_ref[:, pl.ds(t, 1)] = jnp.where(
+                active, y, 0.0).astype(y2_ref.dtype)[:, None]
+        return S
 
-    S_fin = jax.lax.fori_loop(0, T, body, S0, unroll=(T == 1))
+    S_fin = jax.lax.fori_loop(0, T // 8, group, S0)
     state_out_ref[0] = S_fin.astype(state_out_ref.dtype)
 
 
@@ -527,13 +544,21 @@ def wkv7_pallas_batch(state, r, w_raw, k, v, a, b, elapsed, *, lengths=None,
             use_dither=use_dither, interpret=interpret, precision=precision)
         y = y1.transpose(0, 2, 1).reshape(B, 1, C)
     else:
+        # pad the chunk to a multiple of 8 tokens (the kernel loads token
+        # rows in provably-8-aligned groups); pad tokens are masked off by
+        # lengths (t >= length for every row) so state/y are unaffected
+        T8 = -(-T // 8) * 8
+        if T8 != T:
+            pad = ((0, 0), (0, T8 - T), (0, 0))
+            r, w_raw, k, a, b, v = (jnp.pad(x, pad)
+                                    for x in (r, w_raw, k, a, b, v))
         # v to "i-on-sublane" layout (B, T, N, H)
-        v2 = v.reshape(B, T, H, N).transpose(0, 1, 3, 2)
+        v2 = v.reshape(B, T8, H, N).transpose(0, 1, 3, 2)
         y2, new_state = _wkv7_pallas_call(
             state_stacked, li, r, w_raw, k, a, b, v2, elapsed.astype(jnp.int32),
             lengths.astype(jnp.int32), use_dither=use_dither,
             interpret=interpret, precision=precision)
-        y = y2.transpose(0, 1, 3, 2).reshape(B, T, C)
+        y = y2[:, :T].transpose(0, 1, 3, 2).reshape(B, T, C)
     if layer is None:
         new_state = new_state[0]
     return y, new_state

@@ -1,0 +1,197 @@
+"""FULL-STACK serving benchmark: the real server + HTTP/SSE path on TPU.
+
+Answers the question bench.py cannot: what does the complete stack deliver —
+Worker thread scheduling, run_once Python overhead, per-token output_queue
+events across the thread/asyncio bridge, StreamingDecoder, SSE frame writes —
+at the headline config (7.2B INT8 synthetic, batch 200, 200 concurrent
+streams)? The reference's headline was measured exactly this way
+(/root/reference/scripts/test_api_streaming_concurrent.py:38-75).
+
+Orchestration: spawn `python -m chirrup_tpu.server --synthetic_model ...`,
+wait for /health, fire ONE warmup request (compiles the decode block — the
+axon remote compile is load-dependent, 1-8 min), then run N concurrent SSE
+streams and report aggregate tok/s + mean TPOT.
+
+    python scripts/benchmark_serving_fullstack.py            # 7.2B, 200 streams
+    python scripts/benchmark_serving_fullstack.py --tiny     # CPU smoke (2,128)
+"""
+
+import argparse
+import asyncio
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from collections import deque
+
+import aiohttp
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+VOCAB = "/root/reference/Albatross/rwkv_vocab_v20230424.txt"
+
+
+async def wait_health(url, timeout_s):
+    deadline = time.time() + timeout_s
+    async with aiohttp.ClientSession() as s:
+        while time.time() < deadline:
+            try:
+                async with s.get(f"{url}/health") as r:
+                    if r.status == 200:
+                        return True
+            except Exception:  # noqa: BLE001
+                pass
+            await asyncio.sleep(2.0)
+    return False
+
+
+async def one_stream(session, url, args, stats, idx, max_tokens):
+    body = {
+        "model": "rwkv-latest:no-thinking",
+        "messages": [{"role": "user",
+                      "content": f"Write a story about place number {idx}."}],
+        "stream": True, "max_tokens": max_tokens,
+        "temperature": 1.0, "top_p": 0.5, "ignore_eos": True,
+    }
+    tpot = deque(maxlen=8)
+    last = None
+    n = 0
+    t_start = time.time()
+    try:
+        async with session.post(f"{url}/v1/chat/completions", json=body,
+                                timeout=aiohttp.ClientTimeout(total=3600)) as resp:
+            while True:
+                raw = await resp.content.readline()
+                if not raw:
+                    break
+                line = raw.decode().strip()
+                if not line.startswith("data: ") or line == "data: [DONE]":
+                    continue
+                now = time.time()
+                if last is None:
+                    stats["ttft"].append(now - t_start)
+                else:
+                    tpot.append(now - last)
+                last = now
+                n += 1
+                stats["tokens"] += 1
+                if tpot:
+                    stats["tpot"][idx] = sum(tpot) / len(tpot)
+    except Exception as exc:  # noqa: BLE001
+        stats["errors"] += 1
+        if stats["errors"] <= 3:
+            print(f"[{idx}] error: {exc}", file=sys.stderr)
+    stats["done"] += 1
+    return n
+
+
+async def run_load(url, args):
+    stats = {"tokens": 0, "done": 0, "errors": 0, "tpot": {}, "ttft": []}
+    conn = aiohttp.TCPConnector(limit=args.concurrency + 10)
+    async with aiohttp.ClientSession(connector=conn) as session:
+        # warmup: compiles every serving program (block + prefill variants)
+        print(f"# warmup request (compile; may take minutes) ...", flush=True)
+        t0 = time.time()
+        n = await one_stream(session, url, args, dict(stats, tpot={}, ttft=[]),
+                             -1, 8)
+        print(f"# warmup done: {n} tokens in {time.time()-t0:.0f}s", flush=True)
+
+        async def reporter():
+            t0 = time.time()
+            prev = 0
+            while stats["done"] < args.concurrency:
+                await asyncio.sleep(2.0)
+                cur = stats["tokens"]
+                tpots = list(stats["tpot"].values())
+                mean_tpot = sum(tpots) / len(tpots) if tpots else 0
+                print(f"[{time.time()-t0:6.1f}s] {(cur-prev)/2:7.0f} tok/s | "
+                      f"TPOT {mean_tpot*1000:6.1f} ms | "
+                      f"done {stats['done']}/{args.concurrency}", flush=True)
+                prev = cur
+
+        rep = asyncio.create_task(reporter())
+        t0 = time.time()
+        results = await asyncio.gather(*[
+            one_stream(session, url, args, stats, i, args.max_tokens)
+            for i in range(args.concurrency)])
+        dt = time.time() - t0
+        rep.cancel()
+    total = sum(results)
+    tpots = list(stats["tpot"].values())
+    ttfts = sorted(stats["ttft"])
+    out = {
+        "metric": "full-stack serving decode tok/s (HTTP/SSE, synthetic "
+                  f"{args.model_size}, batch {args.batch}, "
+                  f"{args.concurrency} streams)",
+        "aggregate_tok_s": round(total / dt, 1),
+        "tok_s_per_request": round(total / dt / args.concurrency, 2),
+        "mean_tpot_ms": round(1000 * sum(tpots) / max(len(tpots), 1), 1),
+        "ttft_p50_s": round(ttfts[len(ttfts) // 2], 2) if ttfts else None,
+        "ttft_p95_s": round(ttfts[int(len(ttfts) * 0.95)], 2) if ttfts else None,
+        "errors": stats["errors"],
+        "total_tokens": total,
+        "wall_s": round(dt, 1),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke (L2,C128)")
+    ap.add_argument("--concurrency", type=int, default=0)
+    ap.add_argument("--max_tokens", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--port", type=int, default=8077)
+    ap.add_argument("--no-spawn", action="store_true",
+                    help="benchmark an already-running server at --port")
+    args = ap.parse_args()
+
+    if args.tiny:
+        args.model_size = "2,128"
+        args.batch = args.batch or 8
+        args.concurrency = args.concurrency or 8
+        health_timeout = 180
+    else:
+        args.model_size = "32,4096"
+        args.batch = args.batch or 200
+        args.concurrency = args.concurrency or 200
+        health_timeout = 600
+    url = f"http://127.0.0.1:{args.port}"
+
+    proc = None
+    if not args.no_spawn:
+        cmd = [sys.executable, "-u", "-m", "chirrup_tpu.server",
+               "--synthetic_model", args.model_size,
+               "--vocab_path", VOCAB,
+               "--batch_size", str(args.batch),
+               "--port", str(args.port),
+               "--host", "127.0.0.1"]
+        env = dict(os.environ)
+        if args.tiny:
+            env["JAX_PLATFORMS"] = "cpu"
+        print("#", " ".join(cmd), flush=True)
+        proc = subprocess.Popen(cmd, cwd=REPO, env=env,
+                                stdout=open("/tmp/fullstack_server.log", "wb"),
+                                stderr=subprocess.STDOUT,
+                                start_new_session=True)
+    try:
+        ok = asyncio.run(wait_health(url, health_timeout))
+        if not ok:
+            print("server never became healthy; see /tmp/fullstack_server.log",
+                  file=sys.stderr)
+            sys.exit(1)
+        asyncio.run(run_load(url, args))
+    finally:
+        if proc is not None:
+            # kill the exact process group we started (never by pattern)
+            os.killpg(proc.pid, signal.SIGTERM)
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                os.killpg(proc.pid, signal.SIGKILL)
+
+
+if __name__ == "__main__":
+    main()

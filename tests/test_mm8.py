@@ -444,3 +444,61 @@ def test_fused_ffn_row_tiled_matches_resident(rng, monkeypatch):
         x, wk.mx, wk.rx, wk.my, wk.ry, wk.q[None],
         wv.mx, wv.rx, wv.my, wv.ry, wv.q[None], 0, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_fused_a8_xq_matches_decomposed(rng, monkeypatch):
+    """The xq regime (XLA-side quant, int8-resident x) — forced by a budget
+    that rejects the bf16-resident path but admits the int8 one — must match
+    the same math via the xla_a8 decomposed form."""
+    import chirrup_tpu.ops.mm8 as mm8mod
+    import chirrup_tpu.ops.mm8_pallas as mp
+    from chirrup_tpu.ops.mm8 import quantize
+    from chirrup_tpu.ops.mm8_pallas import mm8_fused_a8, mm8_fused_a8_stacked
+
+    monkeypatch.setattr(mp, "_RESIDENT_BUDGET", 220 * 1024)
+    K, M, B = 256, 256, 24
+    w = rng.standard_normal((K, M)).astype(np.float32) * 0.05 + 0.01
+    qw = quantize(w)
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    ref = np.asarray(mm8_matmul(x, qw, core=mm8mod._int8_core_xla_a8))
+    out = np.asarray(mm8_fused_a8(x, qw.mx, qw.rx, qw.my, qw.ry, qw.q,
+                                  interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    # relu2 epilogue in the xq kernel
+    act = np.asarray(mm8_fused_a8(x, qw.mx, qw.rx, qw.my, qw.ry, qw.q,
+                                  interpret=True, activation="relu2"))
+    np.testing.assert_allclose(act, np.square(np.maximum(ref, 0.0)),
+                               rtol=1e-3, atol=1e-4)
+    # stacked flavor
+    out_s = np.asarray(mm8_fused_a8_stacked(
+        x, qw.mx, qw.rx, qw.my, qw.ry, qw.q[None], 0, interpret=True))
+    np.testing.assert_allclose(out_s, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_a8_multi_xq_matches_separate(rng, monkeypatch):
+    """xq regime of the merged R/K/V kernel == per-projection fused calls."""
+    import chirrup_tpu.ops.mm8_pallas as mp
+    from chirrup_tpu.ops.mm8 import quantize
+    from chirrup_tpu.ops.mm8_pallas import (
+        mm8_fused_a8, mm8_fused_a8_multi_stacked)
+
+    B, K, C, n_in = 24, 256, 256, 3
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    xx = jnp.asarray(rng.standard_normal((B, K)), jnp.float32) * 0.3
+    mu = jnp.asarray(rng.standard_normal((n_in, K)), jnp.float32) * 0.5
+    qs = [quantize(rng.standard_normal((K, C)).astype(np.float32) * 0.05)
+          for _ in range(n_in)]
+    q_cat = jnp.concatenate([w.q for w in qs], axis=1)[None]
+    refs = [np.asarray(mm8_fused_a8(x + xx * mu[m], w.mx, w.rx, w.my, w.ry,
+                                    w.q, interpret=True))
+            for m, w in enumerate(qs)]
+    monkeypatch.setattr(mp, "_RESIDENT_BUDGET", 220 * 1024)
+    out = np.asarray(mm8_fused_a8_multi_stacked(
+        x, xx, mu,
+        jnp.concatenate([w.mx for w in qs]),
+        jnp.concatenate([w.rx for w in qs]),
+        jnp.stack([w.my for w in qs]), jnp.stack([w.ry for w in qs]),
+        q_cat, 0, interpret=True))
+    for m in range(n_in):
+        np.testing.assert_allclose(out[:, m * C:(m + 1) * C], refs[m],
+                                   rtol=1e-4, atol=1e-4)

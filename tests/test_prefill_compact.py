@@ -30,7 +30,7 @@ def _make(batch):
 def test_compact_prefill_equals_full_prefill():
     B = 16
     model = _make(B)
-    assert model.prefill_slots == 8 and model.prefill_slot_sizes == [8]
+    assert model.prefill_slots == 8 and model.prefill_variants == [(8, 8)]
     rng = np.random.default_rng(0)
 
     dirty_toks = rng.integers(1, 290, (B,)).astype(np.int32)
