@@ -69,6 +69,7 @@ class AsyncEngineCompletion:
         self._task_queue = task_queue
         self._submitted = False
         self.is_finished = False
+        self._token_buffer: List[tuple] = []  # coalesced-event fan-out
 
     def start(self):
         self._submitted = True
@@ -82,12 +83,23 @@ class AsyncEngineCompletion:
     async def __anext__(self):
         if self.is_finished:
             raise RuntimeError("Already finished")
+        if self._token_buffer:
+            return self._token_buffer.pop(0)
         while True:
             out = await self._result_queue.get()
             if isinstance(out, tuple) and len(out) == 2:
                 message_type, payload = out
                 if message_type == "token_generated":
                     return ("token", *payload)
+                if message_type == "tokens_generated":
+                    # one coalesced event per slot per decode block (the
+                    # per-token bridge wakeups measured as real host overhead
+                    # at thousands of tok/s); fan back out per token here so
+                    # the public event contract is unchanged
+                    self._token_buffer = [("token", *p) for p in payload]
+                    if self._token_buffer:
+                        return self._token_buffer.pop(0)
+                    continue
                 if message_type == "task_completed":
                     self.is_finished = True
                     self.task = payload

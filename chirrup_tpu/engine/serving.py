@@ -752,9 +752,39 @@ class ServingModel:
     def reset_slot(self, carry, slot: int) -> BatchCarry:
         return self._reset_slot(carry, slot)
 
+    def extract_slot_async(self, carry, slot: int):
+        """Dispatch the slot extraction and START the D2H copies without
+        blocking; returns a zero-arg resolver producing the RequestState.
+
+        The extract program writes FRESH buffers (dynamic_slice outputs, not
+        aliased), so later carry mutations cannot corrupt the snapshot; the
+        worker resolves it a loop later, after the copies overlapped the next
+        decode block (a synchronous 16.5MB device_get in the loop measured as
+        multi-second stalls through the axon tunnel)."""
+        shift, wkv, elapsed = self._extract_slot(carry, slot)
+        for arr in (shift, wkv, elapsed):
+            try:
+                arr.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — optional fast path only
+                pass
+
+        def resolve() -> RequestState:
+            return RequestState(
+                shift=np.asarray(jax.device_get(shift)),
+                wkv=np.asarray(jax.device_get(wkv)),
+                elapsed=int(elapsed))
+
+        return resolve
+
     def extract_slot(self, carry, slot: int) -> RequestState:
+        """Snapshot a slot's state to host at its DEVICE dtypes (bf16 in
+        serving config — half the reference's host-RAM/D2H per snapshot; the
+        reference stores fp16, SURVEY §2.2 M2). device_get of a bf16 array
+        yields an ml_dtypes.bfloat16 numpy array; insert_slot casts it back,
+        and the bf16->f32->bf16 round trip is value-preserving, so
+        resume-from-snapshot is bit-identical to an uninterrupted run."""
         shift, wkv, elapsed = self._extract_slot(carry, slot)
         return RequestState(
-            shift=np.asarray(jax.device_get(shift), np.float32),
-            wkv=np.asarray(jax.device_get(wkv), np.float32),
+            shift=np.asarray(jax.device_get(shift)),
+            wkv=np.asarray(jax.device_get(wkv)),
             elapsed=int(elapsed))

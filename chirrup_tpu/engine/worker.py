@@ -121,6 +121,8 @@ class Worker:
         self._loop_times: deque = deque(maxlen=10)
         self.loop_count = 0
         self._pending: Optional[_PendingStep] = None
+        # snapshots dispatched last loop whose async D2H is resolving
+        self._pending_snapshots: List[Tuple] = []
 
     # ------------------------------------------------------------------ setup
 
@@ -191,15 +193,41 @@ class Worker:
         self.slots[idx] = SlotData()
 
     def _snapshot_slot(self, idx: int):
-        """Prefix-cache snapshot: device state -> host RequestState -> event
-        (reference worker.py:407-476)."""
+        """Prefix-cache snapshot: dispatch the extraction + async D2H now,
+        resolve and emit the event NEXT loop so the copy overlaps the next
+        decode block (reference does a non_blocking GPU->CPU copy,
+        worker.py:427-430; a synchronous fetch here stalled serving for
+        seconds per snapshot through the axon tunnel)."""
         slot = self.slots[idx]
-        state = self.model.extract_slot(self.carry, idx)
-        slot.task.output_queue.put_nowait(("cache_prefill", {
-            "state": state,
-            "prefilled_tokens": tuple(slot.prefilled_tokens),
-        }))
+        extract = getattr(self.model, "extract_slot_async", None)
+        if extract is None:
+            state = self.model.extract_slot(self.carry, idx)
+            slot.task.output_queue.put_nowait(("cache_prefill", {
+                "state": state,
+                "prefilled_tokens": tuple(slot.prefilled_tokens),
+            }))
+        else:
+            self._pending_snapshots.append(
+                (slot.task, tuple(slot.prefilled_tokens),
+                 extract(self.carry, idx)))
         slot.prefill_cached = True
+
+    def _emit_ready_snapshots(self):
+        """Resolve snapshots dispatched on a PREVIOUS loop (their D2H has
+        been overlapping the in-flight block) and emit the cache events."""
+        pending, self._pending_snapshots = self._pending_snapshots, []
+        for task, prefilled, resolve in pending:
+            try:
+                state = resolve()
+            except Exception:  # noqa: BLE001 — a failed copy must not kill serving
+                import traceback
+                traceback.print_exc()
+                continue
+            if not task.is_finished():
+                task.output_queue.put_nowait(("cache_prefill", {
+                    "state": state,
+                    "prefilled_tokens": prefilled,
+                }))
 
     def _maybe_snapshot(self, idx: int):
         if self.lockstep:
@@ -316,8 +344,12 @@ class Worker:
 
     def _choose_block_size(self) -> int:
         """K steps per dispatch, restricted to {1, K} so only two programs ever
-        compile. Falls to 1 when any slot needs per-step host involvement: a
-        pending cache-snapshot boundary within K steps, or return_logits."""
+        compile. Falls to 1 only when a slot needs per-step host data
+        (return_logits). Cache-snapshot boundaries do NOT demote the block:
+        the planner pauses just that slot at its boundary via the per-step
+        masks (one slot idles a few steps; the other B-1 keep K-step blocks —
+        demoting the whole batch to K=1 measured 12x slower through the
+        HTTP stack, because under load some slot is ~always near a boundary)."""
         K = self.decode_block_size
         if self.lockstep:
             return max(K, 1)  # FIXED size: hosts must agree without talking
@@ -326,14 +358,8 @@ class Worker:
         for slot in self.slots:
             if slot.phase not in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL):
                 continue
-            task = slot.task
-            if task.return_logits:
+            if slot.task.return_logits:
                 return 1
-            if slot.phase == SlotPhase.ONE_PREFILL:
-                if task.cache_prefill and not slot.prefill_cached:
-                    steps_to_boundary = len(task.prefill_tokens) - slot.pad()
-                    if 0 < steps_to_boundary < K:
-                        return 1
         return K
 
     def _dispatch_decode_block(self, K: int):
@@ -358,6 +384,16 @@ class Worker:
                 n_decode += 1
                 decode_slots.append((idx, task.task_id))
             for k in range(K):
+                if (task.cache_prefill and not slot.prefill_cached
+                        and len(task.prefill_tokens) == slot.pad()):
+                    # PAUSE at the snapshot boundary: this slot idles the rest
+                    # of the block (active stays False), the post-block
+                    # _maybe_snapshot captures the state exactly here, and
+                    # the next block resumes the remaining pad tokens (or the
+                    # first decode step, for padding 0 where the boundary
+                    # lands after the ONE_PREFILL->DECODE flip). The other
+                    # slots keep their full K steps.
+                    break
                 active[k, idx] = True
                 if phase == SlotPhase.ONE_PREFILL:
                     tokens[k, idx] = slot.next_input
@@ -462,6 +498,7 @@ class Worker:
             task = slot.task
             if task is None or task.task_id != task_id or task.is_finished():
                 continue  # slot was reset/aborted while the step was in flight
+            emitted: List[Tuple[int, str]] = []
             for k in range(sampled_np.shape[0]):
                 new_token = int(sampled_np[k, idx])
                 if new_token < 0:
@@ -478,12 +515,17 @@ class Worker:
                     task.output_queue.put_nowait(
                         ("token_generated", (new_token, new_text, logits_row)))
                 else:
-                    task.output_queue.put_nowait(
-                        ("token_generated", (new_token, new_text)))
+                    emitted.append((new_token, new_text))
                 if task.max_tokens is not None \
                         and len(task.generated_tokens) >= task.max_tokens:
                     task.request_status = RequestStatus.FINISHED_LENGTH_CAPPED
                     break
+            if emitted:
+                # ONE bridge event per slot per block: each put_nowait is a
+                # call_soon_threadsafe loop wakeup — per-token events cost
+                # ~K x the wakeups at thousands of tok/s (the interface
+                # fans the list back out per token)
+                task.output_queue.put_nowait(("tokens_generated", emitted))
 
     def _fetch_sampled(self, sampled) -> np.ndarray:
         """Sampled tokens to host. On a multi-PROCESS mesh the global array is
@@ -569,6 +611,7 @@ class Worker:
         """One scheduler iteration; returns True if any forward work was done."""
         loop_start = time.perf_counter()
         self.loop_count += 1
+        self._emit_ready_snapshots()  # last loop's dispatches: copies done
 
         # aborts + completions
         finished: List[int] = []
@@ -724,6 +767,7 @@ class Worker:
                     pass
                 self.slots[idx] = SlotData()
         self._pending = None
+        self._pending_snapshots = []
 
     def _cleanup(self):
         self.carry = None

@@ -80,12 +80,13 @@ def sample_logits_rwkv_pip_fast(logits, temperature, top_p, top_k, rng_key,
     Exactness: the top-p cutoff position is inside the top-k_max set whenever the
     top-k_max cumulative mass reaches top_p, and the top-k filter is a rank mask.
     Rows where either assumption fails (top_p ~ 1.0 on a flat distribution, or
-    top_k > k_max) are exact-resampled PER ROW: up to `fallback_rows` flagged rows
-    are gathered into a fixed (R, V) buffer and run through the exact full-sort
-    sampler — one adversarial request (e.g. top_p=1.0, high temp) costs an R-row
-    sort, not a B-row one, so it cannot degrade every other request's step. Only
-    if more than `fallback_rows` rows flag at once does the whole batch fall back
-    to the exact sampler (lax.cond) — correctness never depends on the heuristic.
+    top_k > k_max) are exact-resampled PER ROW: flagged rows are gathered into
+    fixed (R=fallback_rows, V) buffers and run through the exact full-sort
+    sampler, ceil(n_flagged / R) passes in a while_loop — adversarial requests
+    (e.g. top_p=1.0, high temp) cost R-row sorts proportional to THEIR count,
+    never a whole-batch 65536-wide sort, so hostile streams cannot degrade the
+    other requests' step beyond their own row work. Correctness never depends
+    on the heuristic.
     """
     B, V = logits.shape
     k_max = min(k_max, V)
@@ -145,22 +146,29 @@ def sample_logits_rwkv_pip_fast(logits, temperature, top_p, top_k, rng_key,
     fast_tokens = jnp.where(zero_temp[:, 0], greedy, picked).astype(jnp.int32)
 
     def fix_rows(_):
-        # gather the flagged rows (stable: row order preserved) into an (R, V)
-        # buffer and run the exact sampler on just those
-        rows_idx = jnp.argsort(~need_row, stable=True)[:R]
-        sub_key = jax.random.fold_in(rng_key, 1)
-        sub = sample_logits_rwkv_pip_compatible(
-            logits[rows_idx], temperature[rows_idx, 0], top_p[rows_idx, 0],
-            top_k[rows_idx, 0], sub_key)
-        keep = need_row[rows_idx]
-        merged = fast_tokens.at[rows_idx].set(
-            jnp.where(keep, sub, fast_tokens[rows_idx]))
+        # flagged rows first (stable sort keeps row order); process them in
+        # fixed (R, V) windows — ceil(n_need / R) exact passes, never a
+        # whole-batch sort. dynamic_slice clamps the final window's start, so
+        # it may revisit rows: revisited flagged rows are simply re-drawn
+        # (same exact distribution, fresh fold_in key), unflagged keep=False.
+        order = jnp.argsort(~need_row, stable=True)
 
-        def whole_batch_exact(_):
-            return sample_logits_rwkv_pip_compatible(
-                logits, temperature[:, 0], top_p[:, 0], top_k[:, 0], rng_key)
+        def cond(carry):
+            j, _ = carry
+            return j * R < n_need
 
-        return jax.lax.cond(n_need > R, whole_batch_exact, lambda _: merged, None)
+        def body(carry):
+            j, toks = carry
+            idx = jax.lax.dynamic_slice(order, (j * R,), (R,))
+            sub_key = jax.random.fold_in(rng_key, j + 1)
+            sub = sample_logits_rwkv_pip_compatible(
+                logits[idx], temperature[idx, 0], top_p[idx, 0],
+                top_k[idx, 0], sub_key)
+            keep = need_row[idx]
+            toks = toks.at[idx].set(jnp.where(keep, sub, toks[idx]))
+            return j + 1, toks
+
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), fast_tokens))[1]
 
     return jax.lax.cond(n_need > 0, fix_rows, lambda _: fast_tokens, None)
 

@@ -90,12 +90,31 @@ async def run_load(url, args):
     stats = {"tokens": 0, "done": 0, "errors": 0, "tpot": {}, "ttft": []}
     conn = aiohttp.TCPConnector(limit=args.concurrency + 10)
     async with aiohttp.ClientSession(connector=conn) as session:
-        # warmup: compiles every serving program (block + prefill variants)
-        print(f"# warmup request (compile; may take minutes) ...", flush=True)
+        # warmup: compiles every serving program — the decode block via a
+        # short request, the prefill chunk variants + snapshot extract via a
+        # long-prompt one (compiles are serial; do them before measuring)
+        print(f"# warmup requests (compile; may take minutes) ...", flush=True)
         t0 = time.time()
-        n = await one_stream(session, url, args, dict(stats, tpot={}, ttft=[]),
-                             -1, 8)
-        print(f"# warmup done: {n} tokens in {time.time()-t0:.0f}s", flush=True)
+        wstats = dict(stats, tpot={}, ttft=[])
+        n = await one_stream(session, url, args, wstats, -1, 8)
+        print(f"# warmup 1 (short): {n} tokens in {time.time()-t0:.0f}s",
+              flush=True)
+        t1 = time.time()
+        long_args = argparse.Namespace(**vars(args))
+        body_filler = "many words " * 400  # ~1.2k tokens -> chunked prefill
+
+        async def long_warm():
+            body = {"model": "rwkv-latest:no-thinking",
+                    "messages": [{"role": "user", "content": body_filler}],
+                    "stream": True, "max_tokens": 4, "ignore_eos": True}
+            async with session.post(f"{url}/v1/chat/completions", json=body,
+                                    timeout=aiohttp.ClientTimeout(
+                                        total=3600)) as resp:
+                async for _ in resp.content:
+                    pass
+
+        await long_warm()
+        print(f"# warmup 2 (long prompt): {time.time()-t1:.0f}s", flush=True)
 
         async def reporter():
             t0 = time.time()
@@ -146,6 +165,7 @@ def main():
     ap.add_argument("--port", type=int, default=8077)
     ap.add_argument("--no-spawn", action="store_true",
                     help="benchmark an already-running server at --port")
+    ap.add_argument("--state_cache_size", type=int, default=50)
     args = ap.parse_args()
 
     if args.tiny:
@@ -166,6 +186,7 @@ def main():
                "--synthetic_model", args.model_size,
                "--vocab_path", VOCAB,
                "--batch_size", str(args.batch),
+               "--state_cache_size", str(args.state_cache_size),
                "--port", str(args.port),
                "--host", "127.0.0.1"]
         env = dict(os.environ)

@@ -206,3 +206,37 @@ def test_fast_sampler_row_mask_suppresses_fallback():
         row_mask=jnp.asarray(mask), k_max=64))
     others = [i for i in range(B) if i != 3]
     np.testing.assert_array_equal(toks_masked[others], toks_benign[others])
+
+
+def test_fast_sampler_many_adversarial_rows_bounded():
+    """More flagged rows than one fallback window (9 > R=8) must run extra
+    fixed-size exact passes — NOT a whole-batch exact sort: every benign row's
+    token stays bit-identical to the all-benign batch, and every flagged row
+    still samples the full support."""
+    V, B = 512, 32
+    bad = list(range(9))  # 9 hostile streams, > fallback_rows=8
+    rng = np.random.default_rng(13)
+    concentrated = (rng.standard_normal((B, V)) * 8).astype(np.float32)
+    benign = jnp.asarray(concentrated)
+    adversarial = benign
+    for b in bad:
+        adversarial = adversarial.at[b].set(jnp.zeros(V))
+
+    temp = jnp.ones(B)
+    top_p = jnp.full(B, 0.99)
+    top_k = jnp.zeros(B, jnp.int32)
+    key = jax.random.key(77)
+
+    toks_benign = np.asarray(sample_logits_rwkv_pip_fast(
+        benign, temp, top_p, top_k, key, k_max=64))
+    toks_adv = np.asarray(sample_logits_rwkv_pip_fast(
+        adversarial, temp, top_p, top_k, key, k_max=64))
+    others = [i for i in range(B) if i not in bad]
+    np.testing.assert_array_equal(toks_adv[others], toks_benign[others])
+
+    # flagged rows (including one beyond the first window) sample full support
+    for probe in (0, 8):
+        draws = {int(sample_logits_rwkv_pip_fast(
+            adversarial, temp, top_p, top_k, jax.random.key(s),
+            k_max=64)[probe]) for s in range(400)}
+        assert len(draws) > 250, (probe, len(draws))
