@@ -352,6 +352,56 @@ class ServingModel:
                 in_specs=(param_specs, P(bax, None), st_shift, st_wkv, vec, vec),
                 out_specs=(st_shift, st_wkv, vec))
             self._wkv_fn = raw_wkv  # used only inside the shard_map
+
+            # ---- lockstep prefix-cache programs (fixed per-loop shapes) ----
+            # extract: gather ONE slot per dp shard. idx is a (n_dp,)
+            # dp-sharded array whose VALUES are host-local row offsets — the
+            # gather runs inside shard_map on each shard's local rows, so no
+            # cross-host traffic and hosts may pass different offsets.
+            def extract_local(shift, wkv, elapsed, idx):
+                sh = jnp.take(shift, idx, axis=2)       # (L, 2, 1, C)
+                wk = jnp.take(wkv, idx, axis=1)         # (L, 1, N, HN_loc)
+                el = jnp.take(elapsed, idx, axis=0)     # (1,)
+                return sh, wk, el
+
+            self._extract_lockstep_sharded = smap(
+                extract_local,
+                in_specs=(st_shift, st_wkv, vec, P(bax)),
+                out_specs=(P(None, None, bax, None),
+                           P(None, bax, None, "tp"), P(bax)))
+
+            # resume-insert: overwrite ONE slot's recurrent state per dp
+            # shard (masked). Sampling params/penalties of the row ride the
+            # normal batched admission in the same loop; this program only
+            # carries the state payload (16.5MB/host H2D, dispatched only on
+            # vote-coordinated resume rounds).
+            def resume_local(shift, wkv, elapsed, idx, mask,
+                             s_shift, s_wkv, s_el):
+                L, _, Bl, C = shift.shape
+                N, HNl = wkv.shape[2], wkv.shape[3]
+                i = idx[0]
+                new_sh = s_shift.reshape(L, 2, 1, C).astype(shift.dtype)
+                old_sh = jax.lax.dynamic_slice(shift, (0, 0, i, 0),
+                                               (L, 2, 1, C))
+                shift = jax.lax.dynamic_update_slice(
+                    shift, jnp.where(mask[0], new_sh, old_sh), (0, 0, i, 0))
+                new_wk = s_wkv.reshape(L, 1, N, HNl).astype(wkv.dtype)
+                old_wk = jax.lax.dynamic_slice(wkv, (0, i, 0, 0),
+                                               (L, 1, N, HNl))
+                wkv = jax.lax.dynamic_update_slice(
+                    wkv, jnp.where(mask[0], new_wk, old_wk), (0, i, 0, 0))
+                elapsed = jnp.where(
+                    (jnp.arange(Bl) == i) & mask[0], s_el[0], elapsed)
+                return shift, wkv, elapsed
+
+            self._resume_lockstep_sharded = smap(
+                resume_local,
+                in_specs=(st_shift, st_wkv, vec, P(bax), P(bax),
+                          P(bax, None, None, None),
+                          P(bax, None, None, "tp"), P(bax)),
+                out_specs=(st_shift, st_wkv, vec))
+            self._lockstep_row_shardings = pmesh.lockstep_row_shardings(
+                mesh, batch_sharded=batch_sharded_dp)
             # shutdown votes MUST be dp-sharded: each host's array holds only
             # its own rows' votes; if GSPMD treated the host-local np input as
             # replicated, hosts would observe DIVERGENT "replicated" sums (the

@@ -182,14 +182,14 @@ class Worker:
             return False
 
     def _finish_slot(self, idx: int):
+        """Free the slot. NO device program runs here: a freed slot is masked
+        out of every step, and whichever insert later reuses it fully
+        reinitializes all its carry rows — the old per-finish reset_slot
+        dispatch cost one tunnel round trip per completion (measured as a
+        real serving drag at 200 concurrent streams)."""
         slot = self.slots[idx]
         task = slot.task
         task.output_queue.put_nowait(("task_completed", task))
-        if not self.lockstep:
-            # lockstep: per-slot programs would desync hosts; the slot's state
-            # is zeroed by the (always-issued) batched insert when reused, and
-            # a finished-but-unreused slot is simply masked out of every step
-            self.carry = self.model.reset_slot(self.carry, idx)
         self.slots[idx] = SlotData()
 
     def _snapshot_slot(self, idx: int):
@@ -245,12 +245,20 @@ class Worker:
         worker.py:570-669). New admissions + in-flight bulk prefills are capped at
         max_prefill_count so prefill never starves decode.
 
-        Lockstep mode: only slots in self.slot_range are this host's; admitted
-        tasks are gathered and inserted in ONE batched program (always called,
-        even with an empty mask) so every host runs the same launch sequence."""
+        Admissions are BATCHED: simple tasks (fresh state, <= the capped
+        forbidden-id count — the overwhelmingly common case) ride ONE
+        fixed-shape insert program per loop; per-slot inserts run only for
+        resume-from-state or unbounded forbidden sets. Per-slot inserts for
+        a whole admission wave measured ~seconds of tunnel RPC latency per
+        loop at 200 streams.
+
+        Lockstep mode: only slots in self.slot_range are this host's; the
+        batched program is ALWAYS called (even with an empty mask) so every
+        host runs the same launch sequence, and complex tasks are rejected."""
         lo, hi = self.slot_range
         batch_mask = np.zeros((self.batch_size,), bool)
         batch_tasks: List[Optional[Task]] = [None] * self.batch_size
+        complex_inserts: List[int] = []
         prefill_count = sum(1 for s in self.slots if s.phase == SlotPhase.SEQ_PREFILL)
         for idx in range(lo, hi):
             slot = self.slots[idx]
@@ -264,27 +272,29 @@ class Worker:
                 break
             prefill_count += 1
 
-            if self.lockstep and (
-                    task.state is not None or task.return_logits
-                    or len(list(task.forbidden_tokens))
-                    > ServingModel.LOCKSTEP_MAX_FORBIDDEN):
-                # lockstep cannot resume from snapshots (the state payload
-                # would have to ride the fixed per-loop program), return
-                # per-step logits (global-array fetch), or honor more than
-                # LOCKSTEP_MAX_FORBIDDEN forbidden ids (the per-loop admission
-                # program carries a capped id buffer; silently truncating
-                # would violate the unbounded contract) — fail loudly
+            simple = (task.state is None
+                      and len(list(task.forbidden_tokens))
+                      <= ServingModel.LOCKSTEP_MAX_FORBIDDEN)
+            if self.lockstep and (not simple or task.return_logits):
+                # lockstep cannot resume from snapshots via per-slot programs,
+                # return per-step logits (global-array fetch), or honor more
+                # than LOCKSTEP_MAX_FORBIDDEN forbidden ids (the per-loop
+                # admission program carries a capped id buffer; silently
+                # truncating would violate the unbounded contract) — fail
+                # loudly. (Resume-from-state rides the vote-coordinated
+                # lockstep resume program — see _fill_slots_lockstep_resume.)
                 task.request_status = RequestStatus.FINISHED_ABORTED
                 task.output_queue.put_nowait(("task_completed", task))
                 continue
 
             try:
-                if self.lockstep:
+                if simple:
                     batch_mask[idx] = True
                     batch_tasks[idx] = task
                 else:
                     self.carry = self.model.insert_slot(self.carry, idx,
                                                         task.state, task)
+                    complex_inserts.append(idx)
                 task.request_status = RequestStatus.RUNNING
                 next_input = task.prefill_tokens.pop(0)
             except Exception:  # noqa: BLE001 — a bad task (empty prefill,
@@ -312,6 +322,9 @@ class Worker:
                 decoder=StreamingDecoder(self.tokenizer))
         if self.lockstep:
             # ALWAYS issued (fixed sequence); also zeroes freed slots' state
+            self.carry = self.model.insert_slots_batched(
+                self.carry, batch_mask, batch_tasks)
+        elif batch_mask.any():
             self.carry = self.model.insert_slots_batched(
                 self.carry, batch_mask, batch_tasks)
 

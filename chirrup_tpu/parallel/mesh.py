@@ -142,6 +142,19 @@ def param_shardings(mesh: Mesh, params):
     }
 
 
+def lockstep_row_shardings(mesh: Mesh, batch_sharded: bool = False):
+    """NamedShardings for the lockstep cache programs' per-host row args:
+    one row per dp shard, each host supplying (and reading) only its own."""
+    b = "dp" if batch_sharded else None
+    return {
+        "idx": _ns(mesh, b),
+        "mask": _ns(mesh, b),
+        "shift": _ns(mesh, b, None, None, None),   # (n_dp, L, 2, C)
+        "wkv": _ns(mesh, b, None, None, "tp"),     # (n_dp, L, N, HN)
+        "elapsed": _ns(mesh, b),
+    }
+
+
 def carry_shardings(mesh: Mesh, batch_sharded: bool = False):
     """NamedSharding pytree for a BatchCarry (structure-matched in serving.py).
 
