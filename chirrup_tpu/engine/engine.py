@@ -149,9 +149,17 @@ class AsyncEngineCore:
     async def init(self, worker_num: int, model_config: ModelLoadConfig,
                    batch_size: int = 32, *, load_timeout: float = 300.0,
                    decode_block_size: Optional[int] = None,
-                   model_factory: Optional[Callable] = None) -> None:
+                   model_factory: Optional[Callable] = None,
+                   state_pool_size: int = 0) -> None:
         """Spawn workers and wait for the worker_loaded handshake
-        (reference engine_core.py:89-173, 300 s timeout)."""
+        (reference engine_core.py:89-173, 300 s timeout).
+
+        state_pool_size > 0 preallocates that many DEVICE prefix-snapshot
+        rows per worker (+small headroom for snapshots racing eviction) — the
+        HBM-resident state cache. Single-worker hosts only: with several
+        workers a pool handle cached by one cannot resume on another (the
+        shared task queue is work-stealing), so multi-worker setups keep
+        host-RAM snapshots."""
         if self.is_initialized:
             raise RuntimeError("Workers already initialized")
         if self.is_shutdown:
@@ -200,6 +208,13 @@ class AsyncEngineCore:
 
             devices = jax.devices()
 
+        pool_n = 0
+        if state_pool_size > 0:
+            if worker_num == 1:
+                pool_n = state_pool_size + 8
+            else:
+                print("state pool disabled: worker_num > 1 (host-RAM "
+                      "snapshots in effect)")
         for k in range(worker_num):
             master_q: queue.Queue = queue.Queue()
             self.event_queues.append(master_q)
@@ -228,6 +243,7 @@ class AsyncEngineCore:
                 decode_block_size=decode_block_size,
                 lockstep=lockstep,
                 slot_range=slot_range,
+                state_pool_size=pool_n,
             )
             self.workers.append(worker)
             self.worker_threads.append(start_worker_thread(worker))

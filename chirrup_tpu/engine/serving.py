@@ -164,6 +164,34 @@ def _pack_att_lora(params):
     return out
 
 
+def _host_row(arr, axis, row):
+    """Fetch row `row` along `axis` of a (possibly multi-process) global
+    array: fully-addressable arrays use a plain device_get; otherwise only
+    this host's addressable shards are read and assembled (the lockstep
+    extract outputs are dp-sharded so a host's row lives on its own chips,
+    possibly split over tp on another axis)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(arr)).take(row, axis=axis)
+    shape = list(arr.shape)
+    shape.pop(axis)
+    out = None
+    for sh in arr.addressable_shards:
+        idx = sh.index
+        sl = idx[axis]
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else arr.shape[axis]
+        if not (start <= row < stop):
+            continue
+        data = np.asarray(sh.data).take(row - start, axis=axis)
+        if out is None:
+            out = np.zeros(shape, data.dtype)
+        rest = tuple(s for i, s in enumerate(idx) if i != axis)
+        out[rest] = data
+    if out is None:
+        raise ValueError(f"row {row} of axis {axis} is not addressable here")
+    return out
+
+
 def _place_tree_global(tree, shardings):
     """device_put a pytree onto NamedShardings that may span PROCESSES.
 
@@ -233,6 +261,7 @@ class ServingModel:
             {(small, prefill_chunk * (P // small)), (P, prefill_chunk)})
         self._interpret = interpret_pallas
         self.mesh = mesh
+        self._batch_sharded_dp = batch_sharded_dp
         # mm8 dispatch settings are trace-time module globals; remember ours and
         # re-apply before every public call so models with different settings
         # coexist in one process (traces happen lazily at first call)
@@ -402,13 +431,77 @@ class ServingModel:
                 out_specs=(st_shift, st_wkv, vec))
             self._lockstep_row_shardings = pmesh.lockstep_row_shardings(
                 mesh, batch_sharded=batch_sharded_dp)
+
+            # device-pool store/load, lockstep flavors: one masked row per dp
+            # shard, fixed shapes (see pool_store/pool_load for semantics)
+            pool_sh = P(bax, None, None, None)   # (S, L, 2, C) rows over dp
+            pool_wk = P(bax, None, None, "tp")   # (S, L, N, HN)
+            pool_el = P(bax)
+
+            def pool_store_local(shift, wkv, elapsed, p_sh, p_wk, p_el,
+                                 slot_rows, pool_rows, mask):
+                L, _, Bl, C = shift.shape
+                N, HNl = wkv.shape[2], wkv.shape[3]
+                i, r = slot_rows[0], pool_rows[0]
+                sh = jax.lax.dynamic_slice(
+                    shift, (0, 0, i, 0), (L, 2, 1, C)).transpose(2, 0, 1, 3)
+                old = jax.lax.dynamic_slice(p_sh, (r, 0, 0, 0), (1, L, 2, C))
+                p_sh = jax.lax.dynamic_update_slice(
+                    p_sh, jnp.where(mask[0], sh.astype(p_sh.dtype), old),
+                    (r, 0, 0, 0))
+                wk = jax.lax.dynamic_slice(
+                    wkv, (0, i, 0, 0), (L, 1, N, HNl)).transpose(1, 0, 2, 3)
+                oldw = jax.lax.dynamic_slice(p_wk, (r, 0, 0, 0),
+                                             (1, L, N, HNl))
+                p_wk = jax.lax.dynamic_update_slice(
+                    p_wk, jnp.where(mask[0], wk.astype(p_wk.dtype), oldw),
+                    (r, 0, 0, 0))
+                Sl = p_el.shape[0]
+                p_el = jnp.where((jnp.arange(Sl) == r) & mask[0],
+                                 elapsed[i], p_el)
+                return p_sh, p_wk, p_el
+
+            def pool_load_local(shift, wkv, elapsed, p_sh, p_wk, p_el,
+                                pool_rows, slot_rows, mask):
+                L, _, Bl, C = shift.shape
+                N, HNl = wkv.shape[2], wkv.shape[3]
+                r, i = pool_rows[0], slot_rows[0]
+                sh = jax.lax.dynamic_slice(
+                    p_sh, (r, 0, 0, 0), (1, L, 2, C)).transpose(1, 2, 0, 3)
+                old = jax.lax.dynamic_slice(shift, (0, 0, i, 0), (L, 2, 1, C))
+                shift = jax.lax.dynamic_update_slice(
+                    shift, jnp.where(mask[0], sh.astype(shift.dtype), old),
+                    (0, 0, i, 0))
+                wk = jax.lax.dynamic_slice(
+                    p_wk, (r, 0, 0, 0), (1, L, N, HNl)).transpose(1, 0, 2, 3)
+                oldw = jax.lax.dynamic_slice(wkv, (0, i, 0, 0),
+                                             (L, 1, N, HNl))
+                wkv = jax.lax.dynamic_update_slice(
+                    wkv, jnp.where(mask[0], wk.astype(wkv.dtype), oldw),
+                    (0, i, 0, 0))
+                elapsed = jnp.where(
+                    (jnp.arange(elapsed.shape[0]) == i) & mask[0],
+                    p_el[r], elapsed)
+                return shift, wkv, elapsed
+
+            row_specs = (P(bax), P(bax), P(bax))
+            self._pool_store_lockstep_sharded = smap(
+                pool_store_local,
+                in_specs=(st_shift, st_wkv, vec, pool_sh, pool_wk, pool_el)
+                + row_specs,
+                out_specs=(pool_sh, pool_wk, pool_el))
+            self._pool_load_lockstep_sharded = smap(
+                pool_load_local,
+                in_specs=(st_shift, st_wkv, vec, pool_sh, pool_wk, pool_el)
+                + row_specs,
+                out_specs=(st_shift, st_wkv, vec))
             # shutdown votes MUST be dp-sharded: each host's array holds only
             # its own rows' votes; if GSPMD treated the host-local np input as
             # replicated, hosts would observe DIVERGENT "replicated" sums (the
             # voter sees 1, others 0) and exit at different block counts —
             # wedging the stragglers in the next dp collective
             from jax.sharding import NamedSharding
-            self._stop_votes_sharding = NamedSharding(mesh, P(bax))
+            self._stop_votes_sharding = NamedSharding(mesh, P(bax, None))
 
         self._no_penalty_ids = jnp.asarray(sorted(NO_PENALTY_TOKEN_IDS), jnp.int32)
         self._seed = seed
@@ -425,6 +518,16 @@ class ServingModel:
                                              donate_argnums=(0,))
         self._reset_slot = jax.jit(self._reset_slot_impl, donate_argnums=(0,))
         self._extract_slot = jax.jit(self._extract_slot_impl)
+        self._pool_store = jax.jit(self._pool_store_impl, donate_argnums=(1,))
+        self._pool_load = jax.jit(self._pool_load_impl, donate_argnums=(0,))
+        if mesh is not None:
+            self._extract_lockstep = jax.jit(self._extract_lockstep_impl)
+            self._resume_lockstep = jax.jit(self._resume_lockstep_impl,
+                                            donate_argnums=(0,))
+            self._pool_store_lockstep = jax.jit(
+                self._pool_store_lockstep_impl, donate_argnums=(1,))
+            self._pool_load_lockstep = jax.jit(
+                self._pool_load_lockstep_impl, donate_argnums=(0,))
 
     def _apply_op_settings(self):
         """Re-apply this model's trace-time op settings (mm8 core + pallas
@@ -528,14 +631,16 @@ class ServingModel:
         this amortizes dispatch latency that would otherwise dominate the step
         (observed ~2x the device time through this environment's TPU tunnel).
 
-        stop_votes: (B,) int32 — each lockstep host writes 1 into its own rows
-        when it wants to shut down; the returned global sum is the coordinated
-        shutdown signal (a cross-dp reduction, so every host observes the same
-        count at the same block index and exits after the same launch count —
-        a host silently stopping would wedge the others inside the next
-        block's dp collective). Meshless/zero votes cost nothing.
+        stop_votes: (B, NV=2) int32 vote columns, each host writing only its
+        own rows; the returned per-column global sums are the coordination
+        signals (cross-dp reductions, so every host observes the same counts
+        at the same block index). Column 0 = shutdown votes (a host silently
+        stopping would wedge the others inside the next block's dp
+        collective); column 1 = pending lockstep cache-resume flags (all
+        hosts schedule the fixed resume-insert program on the next loop when
+        the sum is nonzero). Meshless/zero votes cost nothing.
 
-        Returns (carry, sampled (K, B) int32, stop_count () int32). Raw logits
+        Returns (carry, sampled (K, B) int32, vote_counts (NV,) int32). Raw logits
         are not returned (a (K, B, V) buffer is prohibitive); workers needing
         return_logits use single steps.
         """
@@ -547,7 +652,7 @@ class ServingModel:
 
         carry, sampled = jax.lax.scan(
             step, carry, (host_tokens, feedback_mask, active_mask, decode_mask))
-        return carry, sampled, jnp.sum(stop_votes)
+        return carry, sampled, jnp.sum(stop_votes, axis=0)
 
     def _prefill_step_impl(self, params, carry: BatchCarry, tokens, lengths):
         """Advance prefilling slots by up to `prefill_chunk` tokens each.
@@ -702,6 +807,19 @@ class ServingModel:
             (st.wkv.shape[0], 1, st.wkv.shape[2], st.wkv.shape[3]))[:, 0]
         return shift, wkv, st.elapsed[slot]
 
+    def _extract_lockstep_impl(self, carry: BatchCarry, idx):
+        st = carry.state
+        return self._extract_lockstep_sharded(st.shift, st.wkv, st.elapsed,
+                                              idx)
+
+    def _resume_lockstep_impl(self, carry: BatchCarry, idx, mask, s_shift,
+                              s_wkv, s_el):
+        st = carry.state
+        n_shift, n_wkv, n_el = self._resume_lockstep_sharded(
+            st.shift, st.wkv, st.elapsed, idx, mask, s_shift, s_wkv, s_el)
+        return dataclasses.replace(
+            carry, state=RWKVState(shift=n_shift, wkv=n_wkv, elapsed=n_el))
+
     # ------------------------------------------------------------- public API
 
     def decode_step(self, carry, tokens, active_mask, decode_mask,
@@ -717,12 +835,16 @@ class ServingModel:
     def decode_block(self, carry, tokens, feedback_mask, active_mask,
                      decode_mask, stop_votes=None):
         """K steps per dispatch; (K, B) args. Returns (carry, sampled (K, B),
-        stop_count) — stop_count is the cross-host shutdown-vote sum (0 when
-        stop_votes is omitted)."""
+        vote_counts (2,)) — per-column cross-host vote sums ([shutdown,
+        resume-pending]; zeros when stop_votes is omitted). A 1-D (B,) votes
+        array is accepted as shutdown-only."""
         self._apply_op_settings()
         if stop_votes is None:
-            stop_votes = np.zeros((self.batch_size,), np.int32)
+            stop_votes = np.zeros((self.batch_size, 2), np.int32)
         stop_votes = np.asarray(stop_votes, np.int32)
+        if stop_votes.ndim == 1:
+            stop_votes = np.stack(
+                [stop_votes, np.zeros_like(stop_votes)], axis=1)
         if self._stop_votes_sharding is not None:
             ns = self._stop_votes_sharding
             if ns.is_fully_addressable:
@@ -801,6 +923,180 @@ class ServingModel:
 
     def reset_slot(self, carry, slot: int) -> BatchCarry:
         return self._reset_slot(carry, slot)
+
+    # --------------------------------------------- device state pool (HBM cache)
+
+    def init_state_pool(self, size: int):
+        """Preallocate `size` prefix-snapshot rows in HBM (the device-side
+        prefix cache: snapshot/resume become on-device copies — no host
+        round trips; see structures.PoolHandle). ~16.8MB/row at 7.2B bf16."""
+        cfg, rt = self.config, self.runtime
+        pool = {
+            "shift": jnp.zeros((size, cfg.n_layer, 2, cfg.n_embd),
+                               rt.activation_dtype),
+            "wkv": jnp.zeros((size, cfg.n_layer, cfg.head_size, cfg.n_embd),
+                             rt.wkv_state_dtype),
+            "elapsed": jnp.zeros((size,), jnp.int32),
+        }
+        if self.mesh is not None:
+            from chirrup_tpu.parallel import mesh as pmesh
+
+            pool = _place_tree_global(
+                pool, pmesh.pool_shardings(
+                    self.mesh, batch_sharded=self._batch_sharded_dp))
+        return pool
+
+    def pool_row_bytes(self) -> int:
+        cfg, rt = self.config, self.runtime
+        return (cfg.n_layer * 2 * cfg.n_embd
+                * jnp.dtype(rt.activation_dtype).itemsize
+                + cfg.n_layer * cfg.head_size * cfg.n_embd
+                * jnp.dtype(rt.wkv_state_dtype).itemsize + 4)
+
+    def _pool_store_impl(self, carry: BatchCarry, pool, slot, row):
+        st = carry.state
+        L, C = st.shift.shape[0], st.shift.shape[3]
+        N, HN = st.wkv.shape[2], st.wkv.shape[3]
+        sh = jax.lax.dynamic_slice(st.shift, (0, 0, slot, 0), (L, 2, 1, C))
+        sh = sh.transpose(2, 0, 1, 3)                      # (1, L, 2, C)
+        wk = jax.lax.dynamic_slice(st.wkv, (0, slot, 0, 0), (L, 1, N, HN))
+        wk = wk.transpose(1, 0, 2, 3)                      # (1, L, N, HN)
+        return {
+            "shift": jax.lax.dynamic_update_slice(
+                pool["shift"], sh.astype(pool["shift"].dtype), (row, 0, 0, 0)),
+            "wkv": jax.lax.dynamic_update_slice(
+                pool["wkv"], wk.astype(pool["wkv"].dtype), (row, 0, 0, 0)),
+            "elapsed": pool["elapsed"].at[row].set(st.elapsed[slot]),
+        }
+
+    def _pool_load_impl(self, carry: BatchCarry, pool, row, slot):
+        st = carry.state
+        L, C = st.shift.shape[0], st.shift.shape[3]
+        N, HN = st.wkv.shape[2], st.wkv.shape[3]
+        sh = jax.lax.dynamic_slice(pool["shift"], (row, 0, 0, 0),
+                                   (1, L, 2, C)).transpose(1, 2, 0, 3)
+        wk = jax.lax.dynamic_slice(pool["wkv"], (row, 0, 0, 0),
+                                   (1, L, N, HN)).transpose(1, 0, 2, 3)
+        new_state = RWKVState(
+            shift=jax.lax.dynamic_update_slice(
+                st.shift, sh.astype(st.shift.dtype), (0, 0, slot, 0)),
+            wkv=jax.lax.dynamic_update_slice(
+                st.wkv, wk.astype(st.wkv.dtype), (0, slot, 0, 0)),
+            elapsed=st.elapsed.at[slot].set(pool["elapsed"][row]))
+        return dataclasses.replace(carry, state=new_state)
+
+    def pool_store(self, carry, pool, slot: int, row: int):
+        """Snapshot slot -> pool row, entirely on device; returns new pool."""
+        self._apply_op_settings()
+        return self._pool_store(carry, pool, jnp.int32(slot), jnp.int32(row))
+
+    def pool_load(self, carry, pool, row: int, slot: int) -> BatchCarry:
+        """Resume pool row -> slot, entirely on device; returns new carry.
+        Sampling params/penalties must be (re)initialized by an insert."""
+        self._apply_op_settings()
+        return self._pool_load(carry, pool, jnp.int32(row), jnp.int32(slot))
+
+    def _pool_store_lockstep_impl(self, carry, pool, slot_rows, pool_rows,
+                                  mask):
+        st = carry.state
+        n_sh, n_wk, n_el = self._pool_store_lockstep_sharded(
+            st.shift, st.wkv, st.elapsed,
+            pool["shift"], pool["wkv"], pool["elapsed"],
+            slot_rows, pool_rows, mask)
+        return {"shift": n_sh, "wkv": n_wk, "elapsed": n_el}
+
+    def _pool_load_lockstep_impl(self, carry, pool, pool_rows, slot_rows,
+                                 mask):
+        st = carry.state
+        n_sh, n_wk, n_el = self._pool_load_lockstep_sharded(
+            st.shift, st.wkv, st.elapsed,
+            pool["shift"], pool["wkv"], pool["elapsed"],
+            pool_rows, slot_rows, mask)
+        return dataclasses.replace(
+            carry, state=RWKVState(shift=n_sh, wkv=n_wk, elapsed=n_el))
+
+    def pool_store_lockstep(self, carry, pool, slot_rows, pool_rows, mask):
+        """FIXED-shape lockstep snapshot: slot -> pool row per dp shard
+        (masked; every host calls this the same number of times per loop)."""
+        self._apply_op_settings()
+        return self._pool_store_lockstep(
+            carry, pool,
+            self._place_rows("idx", np.asarray(slot_rows, np.int32)),
+            self._place_rows("idx", np.asarray(pool_rows, np.int32)),
+            self._place_rows("mask", np.asarray(mask, bool)))
+
+    def pool_load_lockstep(self, carry, pool, pool_rows, slot_rows,
+                           mask) -> BatchCarry:
+        """FIXED-shape lockstep resume: pool row -> slot per dp shard."""
+        self._apply_op_settings()
+        return self._pool_load_lockstep(
+            carry, pool,
+            self._place_rows("idx", np.asarray(pool_rows, np.int32)),
+            self._place_rows("idx", np.asarray(slot_rows, np.int32)),
+            self._place_rows("mask", np.asarray(mask, bool)))
+
+    # ------------------------------------------------- lockstep cache programs
+
+    @property
+    def lockstep_n_dp(self) -> int:
+        return 1 if self.mesh is None else int(self.mesh.shape["dp"])
+
+    def _place_rows(self, name, arr):
+        ns = self._lockstep_row_shardings[name]
+        if ns.is_fully_addressable:
+            return jax.device_put(arr, ns)
+        a = np.asarray(arr)
+        return jax.make_array_from_callback(a.shape, ns, lambda i: a[i])
+
+    def extract_slot_lockstep(self, carry, local_rows):
+        """FIXED per-loop lockstep snapshot program: gathers ONE slot per dp
+        shard (local_rows: (n_dp,) int32 LOCAL row offsets; each host's value
+        is its own — the gather runs per-shard inside shard_map, no cross-host
+        traffic). Returns a resolver for THIS host's row as a RequestState;
+        D2H copies start immediately and overlap the next block."""
+        self._apply_op_settings()
+        idx = self._place_rows("idx", np.asarray(local_rows, np.int32))
+        shift_g, wkv_g, el_g = self._extract_lockstep(carry, idx)
+        for arr in (shift_g, wkv_g, el_g):
+            try:
+                arr.copy_to_host_async()
+            except Exception:  # noqa: BLE001
+                pass
+        dp_row = 0 if self.mesh is None else min(
+            jax.process_index(), self.lockstep_n_dp - 1)
+
+        def resolve(row=dp_row) -> RequestState:
+            return RequestState(
+                shift=_host_row(shift_g, 2, row),
+                wkv=_host_row(wkv_g, 1, row),
+                elapsed=int(_host_row(el_g, 0, row)))
+
+        return resolve
+
+    def resume_insert_lockstep(self, carry, local_rows, mask,
+                               state: Optional[RequestState]) -> BatchCarry:
+        """FIXED-shape lockstep resume: overwrite ONE slot's recurrent state
+        per dp shard (masked). `state` is THIS host's payload (None -> zeros,
+        mask False); every host must call this the same number of times per
+        loop (coordinated by the resume vote column). Sampling params ride
+        the normal batched admission in the same loop."""
+        self._apply_op_settings()
+        cfg = self.config
+        n_dp = self.lockstep_n_dp
+        dp_row = 0 if self.mesh is None else min(jax.process_index(), n_dp - 1)
+        shift = np.zeros((n_dp, cfg.n_layer, 2, cfg.n_embd), np.float32)
+        wkv = np.zeros((n_dp, cfg.n_layer, cfg.head_size, cfg.n_embd),
+                       np.float32)
+        el = np.zeros((n_dp,), np.int32)
+        if state is not None:
+            shift[dp_row] = np.asarray(state.shift, np.float32)
+            wkv[dp_row] = np.asarray(state.wkv, np.float32)
+            el[dp_row] = state.elapsed
+        return self._resume_lockstep(
+            carry, self._place_rows("idx", np.asarray(local_rows, np.int32)),
+            self._place_rows("mask", np.asarray(mask, bool)),
+            self._place_rows("shift", shift), self._place_rows("wkv", wkv),
+            self._place_rows("elapsed", el))
 
     def extract_slot_async(self, carry, slot: int):
         """Dispatch the slot extraction and START the D2H copies without

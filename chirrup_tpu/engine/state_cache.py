@@ -26,6 +26,16 @@ from typing import Dict, List, Optional, Tuple
 from chirrup_tpu.engine.structures import RequestState
 
 
+def _release(state) -> None:
+    """Drop the cache's reference to an evicted/replaced snapshot. Device-pool
+    handles (structures.PoolHandle) are refcounted — releasing recycles the
+    HBM row once no in-flight resume still reads it; host RequestStates are
+    plain numpy and need nothing."""
+    rel = getattr(state, "release", None)
+    if rel is not None:
+        rel()
+
+
 class _TrieNode:
     __slots__ = ("children", "has_state", "refcount", "prefill_condition")
 
@@ -174,6 +184,9 @@ class PrefixStateCache:
             return None
 
         if tokens in self._lru:
+            old = self._lru[tokens]
+            if old is not state:
+                _release(old)
             self._lru.move_to_end(tokens)
             self._lru[tokens] = state
             node = self._find(tokens)
@@ -190,7 +203,8 @@ class PrefixStateCache:
             node.has_state = True
             self._lru[tokens] = state
             if len(self._lru) > self.max_size:
-                old_key, _old_state = self._lru.popitem(last=False)
+                old_key, old_state = self._lru.popitem(last=False)
+                _release(old_state)
                 self._remove_path(old_key)
 
         if return_trie_node:
@@ -201,7 +215,7 @@ class PrefixStateCache:
         tokens = tuple(tokens)
         if tokens not in self._lru:
             return False
-        del self._lru[tokens]
+        _release(self._lru.pop(tokens))
         self._remove_path(tokens)
         return True
 

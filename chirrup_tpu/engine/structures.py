@@ -88,6 +88,71 @@ class RequestState:
         return self.shift.nbytes + self.wkv.nbytes + 8
 
 
+class StatePoolAllocator:
+    """Thread-safe free-list over the rows of a worker's device state pool."""
+
+    def __init__(self, size: int):
+        import threading
+
+        self._lock = threading.Lock()
+        self._free = list(range(size - 1, -1, -1))
+        self.size = size
+
+    def alloc(self) -> Optional[int]:
+        with self._lock:
+            return self._free.pop() if self._free else None
+
+    def free(self, row: int) -> None:
+        with self._lock:
+            self._free.append(row)
+
+    def available(self) -> int:
+        with self._lock:
+            return len(self._free)
+
+
+@dataclasses.dataclass
+class PoolHandle:
+    """Reference to a DEVICE-resident prefix-state snapshot: one row of a
+    worker's HBM state pool.
+
+    The TPU-native replacement for host-RAM snapshots where it matters most:
+    with INT8 weights there is HBM headroom, and a snapshot/resume becomes an
+    on-device copy (~100us) instead of a 16.5MB device<->host round trip
+    (which, through this environment's tunnel, measured ~6s each — and even
+    on real PCIe hosts costs milliseconds of bus traffic per request).
+    Refcounted: the cache holds one reference; each in-flight resume holds
+    another, so LRU eviction cannot recycle a row a request still reads."""
+
+    row: int
+    worker_id: str
+    allocator: StatePoolAllocator
+    device_bytes: int = 0
+    refs: int = 1
+
+    def acquire(self) -> "PoolHandle":
+        import threading  # refcount ops are rare; a module lock suffices
+
+        with _POOL_HANDLE_LOCK:
+            assert self.refs > 0, "acquire after free"
+            self.refs += 1
+        return self
+
+    def release(self) -> None:
+        with _POOL_HANDLE_LOCK:
+            self.refs -= 1
+            if self.refs == 0:
+                self.allocator.free(self.row)
+
+    def nbytes(self) -> int:
+        return self.device_bytes  # accounted as device-pool bytes
+
+
+import threading as _threading
+
+_POOL_HANDLE_LOCK = _threading.Lock()
+
+
 @dataclasses.dataclass
 class Task:
     """One generation request moving through the engine."""

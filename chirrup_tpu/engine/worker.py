@@ -30,7 +30,7 @@ import numpy as np
 import jax
 
 from chirrup_tpu.engine.structures import (
-    RequestStatus, Task, RequestState)
+    PoolHandle, RequestStatus, StatePoolAllocator, Task, RequestState)
 from chirrup_tpu.engine.serving import ServingModel
 from chirrup_tpu.utils.tokenizer import WorldTokenizer, StreamingDecoder
 
@@ -50,6 +50,7 @@ class SlotData:
     next_input: Optional[int] = None
     prefilled_tokens: List[int] = dataclasses.field(default_factory=list)
     prefill_cached: bool = False
+    snapshot_queued: bool = False  # lockstep: waiting for its extract turn
     decoder: Optional[StreamingDecoder] = None
     # True once the slot's decode input comes from the device-side feedback
     # (BatchCarry.last_sampled) instead of a host-provided token
@@ -85,7 +86,9 @@ class Worker:
                  decode_block_size: Optional[int] = None,
                  idle_sleep: float = 0.05,
                  lockstep: bool = False,
-                 slot_range: Optional[Tuple[int, int]] = None):
+                 slot_range: Optional[Tuple[int, int]] = None,
+                 state_pool_size: int = 0,
+                 pool_allocator: Optional[StatePoolAllocator] = None):
         self.worker_id = worker_id
         self._model_factory = model_factory
         self.task_queue = task_queue
@@ -114,6 +117,11 @@ class Worker:
         self.model: Optional[ServingModel] = None
         self.tokenizer: Optional[WorldTokenizer] = None
         self.carry = None
+        # device-resident prefix-state pool (HBM cache): snapshot/resume are
+        # on-device copies, no host transfers (structures.PoolHandle)
+        self.state_pool_size = state_pool_size
+        self.pool_allocator = pool_allocator
+        self.state_pool = None
 
         self.shutdown_flag = False
         self._stop_vote = False   # lockstep: voted to shut down, awaiting quorum
@@ -123,6 +131,12 @@ class Worker:
         self._pending: Optional[_PendingStep] = None
         # snapshots dispatched last loop whose async D2H is resolving
         self._pending_snapshots: List[Tuple] = []
+        # lockstep prefix-cache machinery: slots awaiting their turn on the
+        # per-loop fixed extract program, resume tasks awaiting the
+        # vote-coordinated fixed resume-insert round
+        self._lockstep_snapshot_queue: List[int] = []
+        self._resume_pending: List[Task] = []
+        self._resume_go = False
 
     # ------------------------------------------------------------------ setup
 
@@ -139,6 +153,10 @@ class Worker:
             import jax
             on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
             self.decode_block_size = 16 if on_tpu else 1
+        if self.state_pool_size > 0:
+            self.state_pool = self.model.init_state_pool(self.state_pool_size)
+            if self.pool_allocator is None:
+                self.pool_allocator = StatePoolAllocator(self.state_pool_size)
         self._emit_worker_event("worker_loaded", {
             "status": "success",
             "worker_id": self.worker_id,
@@ -193,12 +211,28 @@ class Worker:
         self.slots[idx] = SlotData()
 
     def _snapshot_slot(self, idx: int):
-        """Prefix-cache snapshot: dispatch the extraction + async D2H now,
-        resolve and emit the event NEXT loop so the copy overlaps the next
-        decode block (reference does a non_blocking GPU->CPU copy,
-        worker.py:427-430; a synchronous fetch here stalled serving for
-        seconds per snapshot through the axon tunnel)."""
+        """Prefix-cache snapshot. Preferred path: copy the slot's state into
+        a row of the DEVICE state pool (an on-device copy — no host traffic
+        at all) and emit a refcounted PoolHandle. Fallback (pool off/full):
+        dispatch the extraction + async D2H now, resolve and emit the event
+        NEXT loop so the copy overlaps the next decode block (reference does
+        a non_blocking GPU->CPU copy, worker.py:427-430; a synchronous fetch
+        here stalled serving for seconds per snapshot through the tunnel)."""
         slot = self.slots[idx]
+        if self.state_pool is not None:
+            row = self.pool_allocator.alloc()
+            if row is not None:
+                self.state_pool = self.model.pool_store(
+                    self.carry, self.state_pool, idx, row)
+                handle = PoolHandle(row=row, worker_id=self.worker_id,
+                                    allocator=self.pool_allocator,
+                                    device_bytes=self.model.pool_row_bytes())
+                slot.task.output_queue.put_nowait(("cache_prefill", {
+                    "state": handle,
+                    "prefilled_tokens": tuple(slot.prefilled_tokens),
+                }))
+                slot.prefill_cached = True
+                return
         extract = getattr(self.model, "extract_slot_async", None)
         if extract is None:
             state = self.model.extract_slot(self.carry, idx)
@@ -230,13 +264,71 @@ class Worker:
                 }))
 
     def _maybe_snapshot(self, idx: int):
-        if self.lockstep:
-            return  # snapshots are per-slot extract programs (host-divergent)
         slot = self.slots[idx]
         task = slot.task
-        if (task.cache_prefill and not slot.prefill_cached
+        if not (task.cache_prefill and not slot.prefill_cached
                 and len(task.prefill_tokens) == slot.pad()):
+            return
+        if self.lockstep:
+            if self.state_pool is None:
+                # no pool: lockstep cannot snapshot (per-slot extract
+                # programs would desync hosts); unblock the paused slot
+                slot.prefill_cached = True
+                return
+            # queue for the per-loop FIXED pool-store program (one
+            # slot/loop); the block planner keeps the slot paused at the
+            # boundary until prefill_cached flips when its store dispatches
+            if not slot.snapshot_queued:
+                slot.snapshot_queued = True
+                self._lockstep_snapshot_queue.append(idx)
+        else:
             self._snapshot_slot(idx)
+
+    def _run_lockstep_snapshot(self):
+        """Dispatch the FIXED per-loop lockstep snapshot program (every host,
+        every loop while the pool exists — a host skipping it would desync
+        the launch sequences). The snapshot is a masked on-device copy into
+        this host's pool rows; with nothing pending the program runs with an
+        all-False mask."""
+        lo, _ = self.slot_range
+        n_dp = self.model.lockstep_n_dp
+        dp_row = min(jax.process_index(), n_dp - 1)
+        req_idx = None
+        while self._lockstep_snapshot_queue:
+            idx = self._lockstep_snapshot_queue.pop(0)
+            slot = self.slots[idx]
+            if (slot.task is not None and slot.snapshot_queued
+                    and not slot.prefill_cached
+                    and not slot.task.is_finished()):
+                req_idx = idx
+                break
+        row = None
+        if req_idx is not None:
+            row = self.pool_allocator.alloc()
+            if row is None:
+                # pool exhausted: skip the snapshot (the request proceeds;
+                # followers re-prefill) but keep the fixed program sequence
+                self.slots[req_idx].prefill_cached = True
+                req_idx = None
+        slot_rows = np.zeros((n_dp,), np.int32)
+        pool_rows = np.zeros((n_dp,), np.int32)
+        mask = np.zeros((n_dp,), bool)
+        if req_idx is not None:
+            slot_rows[dp_row] = req_idx - lo
+            pool_rows[dp_row] = row
+            mask[dp_row] = True
+        self.state_pool = self.model.pool_store_lockstep(
+            self.carry, self.state_pool, slot_rows, pool_rows, mask)
+        if req_idx is not None:
+            slot = self.slots[req_idx]
+            slot.prefill_cached = True
+            handle = PoolHandle(row=row, worker_id=self.worker_id,
+                                allocator=self.pool_allocator,
+                                device_bytes=self.model.pool_row_bytes())
+            slot.task.output_queue.put_nowait(("cache_prefill", {
+                "state": handle,
+                "prefilled_tokens": tuple(slot.prefilled_tokens),
+            }))
 
     # ------------------------------------------------------------------ fill
 
@@ -259,6 +351,7 @@ class Worker:
         batch_mask = np.zeros((self.batch_size,), bool)
         batch_tasks: List[Optional[Task]] = [None] * self.batch_size
         complex_inserts: List[int] = []
+        pool_loads: List[Tuple[int, PoolHandle]] = []
         prefill_count = sum(1 for s in self.slots if s.phase == SlotPhase.SEQ_PREFILL)
         for idx in range(lo, hi):
             slot = self.slots[idx]
@@ -272,19 +365,39 @@ class Worker:
                 break
             prefill_count += 1
 
-            simple = (task.state is None
-                      and len(list(task.forbidden_tokens))
-                      <= ServingModel.LOCKSTEP_MAX_FORBIDDEN)
-            if self.lockstep and (not simple or task.return_logits):
-                # lockstep cannot resume from snapshots via per-slot programs,
-                # return per-step logits (global-array fetch), or honor more
-                # than LOCKSTEP_MAX_FORBIDDEN forbidden ids (the per-loop
-                # admission program carries a capped id buffer; silently
-                # truncating would violate the unbounded contract) — fail
-                # loudly. (Resume-from-state rides the vote-coordinated
-                # lockstep resume program — see _fill_slots_lockstep_resume.)
+            pool_resume = (isinstance(task.state, PoolHandle)
+                           and self.state_pool is not None
+                           and task.state.worker_id == self.worker_id)
+            if isinstance(task.state, PoolHandle) and not pool_resume \
+                    and not self.lockstep:
+                # a pool handle from another worker (or pooling off): its
+                # device rows are not ours and the app already trimmed the
+                # prompt to the suffix — unrecoverable here, fail loudly
+                # (the engine only enables pooling for worker_num == 1,
+                # so this is a misconfiguration guard, not a live path)
                 task.request_status = RequestStatus.FINISHED_ABORTED
                 task.output_queue.put_nowait(("task_completed", task))
+                continue
+            simple = ((task.state is None or pool_resume)
+                      and len(list(task.forbidden_tokens))
+                      <= ServingModel.LOCKSTEP_MAX_FORBIDDEN)
+            if self.lockstep and (
+                    task.return_logits
+                    or len(list(task.forbidden_tokens))
+                    > ServingModel.LOCKSTEP_MAX_FORBIDDEN):
+                # lockstep cannot return per-step logits (global-array fetch)
+                # or honor more than LOCKSTEP_MAX_FORBIDDEN forbidden ids
+                # (the per-loop admission program carries a capped id buffer;
+                # silently truncating would violate the unbounded contract)
+                # — fail loudly
+                task.request_status = RequestStatus.FINISHED_ABORTED
+                task.output_queue.put_nowait(("task_completed", task))
+                continue
+            if self.lockstep and task.state is not None:
+                # resume-from-state rides the vote-coordinated FIXED resume
+                # program (see the resume round below): stash host-locally,
+                # vote on the next block, insert when every host agrees
+                self._resume_pending.append(task)
                 continue
 
             try:
@@ -292,9 +405,12 @@ class Worker:
                     batch_mask[idx] = True
                     batch_tasks[idx] = task
                 else:
-                    self.carry = self.model.insert_slot(self.carry, idx,
-                                                        task.state, task)
+                    self.carry = self.model.insert_slot(
+                        self.carry, idx,
+                        None if pool_resume else task.state, task)
                     complex_inserts.append(idx)
+                if pool_resume:
+                    pool_loads.append((idx, task.state))
                 task.request_status = RequestStatus.RUNNING
                 next_input = task.prefill_tokens.pop(0)
             except Exception:  # noqa: BLE001 — a bad task (empty prefill,
@@ -320,13 +436,101 @@ class Worker:
             self.slots[idx] = SlotData(
                 task=task, phase=phase, next_input=next_input,
                 decoder=StreamingDecoder(self.tokenizer))
+        resume_idx = resume_task = None
+        round_due = self.lockstep and self._resume_go
+        if round_due:
+            # vote-coordinated resume round: every host runs the SAME fixed
+            # program sequence this loop; hosts without work pass empty masks
+            self._resume_go = False
+            resume_idx, resume_task = self._pick_lockstep_resume(batch_mask)
+            if resume_task is not None:
+                batch_mask[resume_idx] = True
+                batch_tasks[resume_idx] = resume_task
+
         if self.lockstep:
             # ALWAYS issued (fixed sequence); also zeroes freed slots' state
             self.carry = self.model.insert_slots_batched(
                 self.carry, batch_mask, batch_tasks)
+            if round_due:
+                self._run_lockstep_resume_programs(resume_idx, resume_task)
         elif batch_mask.any():
             self.carry = self.model.insert_slots_batched(
                 self.carry, batch_mask, batch_tasks)
+        for idx, handle in pool_loads:
+            # overwrite the freshly-initialized row's state from the pool
+            # (an on-device copy; params already set by the insert above)
+            self.carry = self.model.pool_load(self.carry, self.state_pool,
+                                              handle.row, idx)
+            handle.release()
+
+    def _pick_lockstep_resume(self, batch_mask):
+        """Pick the next resumable pending task + an empty slot and do its
+        admission bookkeeping (the batched insert sets its params; the fixed
+        resume program then overwrites its state)."""
+        lo, hi = self.slot_range
+        while self._resume_pending:
+            t = self._resume_pending[0]
+            if self._is_aborted(t) or t.is_finished():
+                self._resume_pending.pop(0)
+                t.request_status = RequestStatus.FINISHED_ABORTED
+                t.output_queue.put_nowait(("task_completed", t))
+                continue
+            break
+        if not self._resume_pending:
+            return None, None
+        idx = next((i for i in range(lo, hi)
+                    if self.slots[i].phase == SlotPhase.EMPTY
+                    and not batch_mask[i]), None)
+        if idx is None:
+            return None, None  # stays pending; the vote fires again
+        task = self._resume_pending.pop(0)
+        try:
+            task.request_status = RequestStatus.RUNNING
+            next_input = task.prefill_tokens.pop(0)
+        except Exception:  # noqa: BLE001
+            task.request_status = RequestStatus.FINISHED_ABORTED
+            task.output_queue.put_nowait(("task_completed", task))
+            return None, None
+        pad = max(task.cache_prefill_padding - 1, 0)
+        if len(task.prefill_tokens) == 0:
+            phase = SlotPhase.DECODE
+        elif len(task.prefill_tokens) - pad < self.min_forward_seq_len:
+            phase = SlotPhase.ONE_PREFILL
+        else:
+            phase = SlotPhase.SEQ_PREFILL
+        self.slots[idx] = SlotData(
+            task=task, phase=phase, next_input=next_input,
+            decoder=StreamingDecoder(self.tokenizer))
+        return idx, task
+
+    def _run_lockstep_resume_programs(self, resume_idx, resume_task):
+        """The FIXED resume programs of one round: the pool-load (when the
+        pool exists) and the host-payload insert — both masked, both run by
+        every host so launch sequences stay identical."""
+        lo, _ = self.slot_range
+        n_dp = self.model.lockstep_n_dp
+        dp_row = min(jax.process_index(), n_dp - 1)
+        rows = np.zeros((n_dp,), np.int32)
+        mask_pool = np.zeros((n_dp,), bool)
+        mask_host = np.zeros((n_dp,), bool)
+        state = resume_task.state if resume_task is not None else None
+        if resume_task is not None:
+            rows[dp_row] = resume_idx - lo
+            if isinstance(state, PoolHandle):
+                mask_pool[dp_row] = True
+            else:
+                mask_host[dp_row] = True
+        if self.state_pool is not None:
+            prow = np.zeros((n_dp,), np.int32)
+            if mask_pool[dp_row]:
+                prow[dp_row] = state.row
+            self.carry = self.model.pool_load_lockstep(
+                self.carry, self.state_pool, prow, rows, mask_pool)
+        self.carry = self.model.resume_insert_lockstep(
+            self.carry, rows, mask_host,
+            state if mask_host[dp_row] else None)
+        if resume_task is not None and isinstance(state, PoolHandle):
+            state.release()
 
     # ----------------------------------------------------------- transitions
 
@@ -425,12 +629,14 @@ class Worker:
                 slot.phase = SlotPhase.DECODE
                 decode_slots.append((idx, task.task_id))
 
-        stop_votes = np.zeros((B,), np.int32)
+        votes = np.zeros((B, 2), np.int32)
+        lo, hi = self.slot_range
         if self._stop_vote:
-            lo, hi = self.slot_range
-            stop_votes[lo:hi] = 1
+            votes[lo:hi, 0] = 1
+        if self._resume_pending:
+            votes[lo:hi, 1] = 1
         self.carry, sampled, stop_count = self.model.decode_block(
-            self.carry, tokens, feedback, active, decode, stop_votes)
+            self.carry, tokens, feedback, active, decode, votes)
 
         # snapshot boundaries align with block ends by construction
         for idx, slot in enumerate(self.slots):
@@ -500,9 +706,12 @@ class Worker:
         if pending is None:
             return
         if self.lockstep and pending.stop_count is not None:
-            # replicated scalar: addressable on every host
-            if int(np.asarray(jax.device_get(pending.stop_count))) > 0:
+            # replicated (NV,) sums: addressable on every host
+            counts = np.asarray(jax.device_get(pending.stop_count)).reshape(-1)
+            if counts[0] > 0:
                 self.shutdown_flag = True
+            if counts.size > 1 and counts[1] > 0:
+                self._resume_go = True  # all hosts run a resume round next loop
         sampled_np = self._fetch_sampled(pending.sampled)
         if sampled_np.ndim == 1:
             sampled_np = sampled_np[None, :]
@@ -684,6 +893,9 @@ class Worker:
                 self._seq_countdown += max(1, self.decode_prefill_ratio)
                 if fed == 0:
                     break
+
+        if self.lockstep and self.state_pool is not None:
+            self._run_lockstep_snapshot()
 
         # read the PREVIOUS step's tokens while the dispatched work executes
         self._process_pending()

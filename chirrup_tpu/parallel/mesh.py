@@ -180,3 +180,15 @@ def carry_shardings(mesh: Mesh, batch_sharded: bool = False):
         last_sampled=vec,
         rng=_ns(mesh),
     )
+
+
+def pool_shardings(mesh: Mesh, batch_sharded: bool = False):
+    """Device state pool (S rows of prefix snapshots): rows shard over dp in
+    lockstep (each host's pool rows live on its own chips), the per-head wkv
+    axis shards over tp like the live carry."""
+    b = "dp" if batch_sharded else None
+    return {
+        "shift": _ns(mesh, b, None, None, None),
+        "wkv": _ns(mesh, b, None, None, "tp"),
+        "elapsed": _ns(mesh, b),
+    }

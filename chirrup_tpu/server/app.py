@@ -135,6 +135,11 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
             await state_cache.check_and_wait_prefill(
                 prefill_tokens, cache_prefill_padding, return_claim=True,
                 can_lead=will_cache)
+        if state is not None and hasattr(state, "acquire"):
+            # device-pool handle: hold a reference for this in-flight resume
+            # so LRU eviction cannot recycle the HBM row under the request
+            # (the worker releases it after the on-device load)
+            state.acquire()
     else:
         real_prefill_tokens, state = prefill_tokens, None
 
@@ -451,10 +456,6 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
                model_factory=None) -> web.Application:
     """Build the aiohttp application. Pass a pre-initialized engine for tests;
     otherwise the engine is created and loaded on startup."""
-    if config.lockstep and config.state_cache_size > 0:
-        # lockstep admissions are zero-state; a populated cache would hand the
-        # engine resume-states its workers must reject
-        config = dataclasses.replace(config, state_cache_size=0)
     app = web.Application(middlewares=[cors_and_errors_middleware])
     app["config"] = config
     app["engine"] = engine
@@ -475,7 +476,8 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
             mc = _model_config_from_server_config(config)
             await eng.init(worker_num=config.worker_num, model_config=mc,
                            batch_size=config.batch_size,
-                           model_factory=model_factory)
+                           model_factory=model_factory,
+                           state_pool_size=config.state_cache_size)
             app_["engine"] = eng
 
     async def on_cleanup(app_):
