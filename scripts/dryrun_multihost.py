@@ -202,8 +202,15 @@ def child(pid: int, port: int):
     finally:
         worker_mod.StreamingDecoder = real_decoder
 
-    gen = [[e[1][0] for e in s.events if e[0] == "token_generated"]
-           for s in sinks]
+    gen = []
+    for s in sinks:
+        toks = []
+        for e in s.events:
+            if e[0] == "token_generated":
+                toks.append(e[1][0])
+            elif e[0] == "tokens_generated":  # coalesced per-block event
+                toks.extend(t for t, _ in e[1])
+        gen.append(toks)
     assert all(len(g) == 4 for g in gen), gen
     print(f"[p{pid}] lockstep worker OK: generated {gen}", flush=True)
 
