@@ -77,7 +77,10 @@ def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
             wkv_state_dtype=dtypes[model_config.wkv_state_dtype],
             quantization=model_config.quantization,
             use_pallas_wkv=model_config.use_pallas_wkv,
+            **({"mm8_core": model_config.mm8_core}
+               if getattr(model_config, "mm8_core", None) else {}),
         )
+        interpret = bool(getattr(model_config, "interpret_pallas", False))
         if model_config.synthetic_config is not None:
             cfg = RWKV7Config(**model_config.synthetic_config)
             if runtime.quantization == "int8":
@@ -115,14 +118,16 @@ def build_model_factory(model_config: ModelLoadConfig, batch_size: int,
         elif device is not None:
             params = jax.device_put(params, device)
         # off TPU, the lax.scan WKV is far faster than interpret-mode pallas
+        # (unless interpret mode is explicitly requested to exercise the
+        # exact TPU numeric stack in CPU tests)
         on_tpu = any(d.platform in ("tpu", "axon") or "TPU" in str(d)
                      for d in jax.devices())
-        if not on_tpu and runtime.use_pallas_wkv:
+        if not on_tpu and runtime.use_pallas_wkv and not interpret:
             runtime = dataclasses.replace(runtime, use_pallas_wkv=False)
         model = ServingModel(cfg, params, runtime, batch_size,
                              prefill_chunk=model_config.prefill_chunk,
                              mesh=mesh, batch_sharded_dp=batch_sharded_dp,
-                             seed=seed)
+                             interpret_pallas=interpret, seed=seed)
         tokenizer = WorldTokenizer(model_config.vocab_path)
         return model, tokenizer
 

@@ -519,6 +519,8 @@ class ServingModel:
         self._reset_slot = jax.jit(self._reset_slot_impl, donate_argnums=(0,))
         self._extract_slot = jax.jit(self._extract_slot_impl)
         self._pool_store = jax.jit(self._pool_store_impl, donate_argnums=(1,))
+        self._pool_store_many = jax.jit(self._pool_store_many_impl,
+                                        donate_argnums=(1,))
         self._pool_load = jax.jit(self._pool_load_impl, donate_argnums=(0,))
         if mesh is not None:
             self._extract_lockstep = jax.jit(self._extract_lockstep_impl)
@@ -837,7 +839,14 @@ class ServingModel:
         """K steps per dispatch; (K, B) args. Returns (carry, sampled (K, B),
         vote_counts (2,)) — per-column cross-host vote sums ([shutdown,
         resume-pending]; zeros when stop_votes is omitted). A 1-D (B,) votes
-        array is accepted as shutdown-only."""
+        array is accepted as shutdown-only.
+
+        Host-arg caching: each upload is its own RPC to the device runtime —
+        through the axon tunnel that is ~4-6 extra round trips per block,
+        measured as ~2x the whole block time. In the decode steady state
+        (every slot on device feedback, no phase transitions) the args repeat
+        bit-for-bit block after block, so the previous block's DEVICE arrays
+        are reused whenever the host values are unchanged."""
         self._apply_op_settings()
         if stop_votes is None:
             stop_votes = np.zeros((self.batch_size, 2), np.int32)
@@ -845,19 +854,30 @@ class ServingModel:
         if stop_votes.ndim == 1:
             stop_votes = np.stack(
                 [stop_votes, np.zeros_like(stop_votes)], axis=1)
-        if self._stop_votes_sharding is not None:
-            ns = self._stop_votes_sharding
-            if ns.is_fully_addressable:
-                votes = jax.device_put(stop_votes, ns)
-            else:
-                votes = jax.make_array_from_callback(
-                    stop_votes.shape, ns, lambda idx: stop_votes[idx])
+
+        host_args = (np.asarray(tokens), np.asarray(feedback_mask),
+                     np.asarray(active_mask), np.asarray(decode_mask),
+                     stop_votes)
+        cache = getattr(self, "_block_arg_cache", None)
+        if cache is not None and all(
+                a.shape == b.shape and a.dtype == b.dtype
+                and np.array_equal(a, b)
+                for a, b in zip(host_args, cache[0])):
+            dev_args = cache[1]
         else:
-            votes = jnp.asarray(stop_votes)
-        return self._decode_block(self.params, carry, jnp.asarray(tokens),
-                                  jnp.asarray(feedback_mask),
-                                  jnp.asarray(active_mask),
-                                  jnp.asarray(decode_mask), votes)
+            if self._stop_votes_sharding is not None:
+                ns = self._stop_votes_sharding
+                if ns.is_fully_addressable:
+                    votes = jax.device_put(stop_votes, ns)
+                else:
+                    votes = jax.make_array_from_callback(
+                        stop_votes.shape, ns, lambda idx: stop_votes[idx])
+            else:
+                votes = jnp.asarray(stop_votes)
+            dev_args = tuple(jnp.asarray(a) for a in host_args[:4]) + (votes,)
+            self._block_arg_cache = (tuple(a.copy() for a in host_args),
+                                     dev_args)
+        return self._decode_block(self.params, carry, *dev_args)
 
     def prefill_step(self, carry, tokens, lengths):
         self._apply_op_settings()
@@ -985,10 +1005,62 @@ class ServingModel:
             elapsed=st.elapsed.at[slot].set(pool["elapsed"][row]))
         return dataclasses.replace(carry, state=new_state)
 
+    POOL_STORE_BATCH = 8
+
+    def _pool_store_many_impl(self, carry: BatchCarry, pool, slots, rows,
+                              mask):
+        """Up to POOL_STORE_BATCH snapshots in ONE program (each dispatch is
+        a device-runtime RPC; an admission wave hitting 25 snapshot
+        boundaries in one loop measured ~6s of per-slot dispatch latency).
+        Masked-off entries rewrite their row's old bytes (pad rows may repeat
+        row 0: duplicate scatters of identical values are harmless)."""
+        st = carry.state
+        L, C = st.shift.shape[0], st.shift.shape[3]
+        N, HN = st.wkv.shape[2], st.wkv.shape[3]
+        S = pool["elapsed"].shape[0]
+
+        def body(i, p):
+            p_sh, p_wk, p_el = p
+            s, r, m = slots[i], rows[i], mask[i]
+            sh = jax.lax.dynamic_slice(
+                st.shift, (0, 0, s, 0), (L, 2, 1, C)).transpose(2, 0, 1, 3)
+            old = jax.lax.dynamic_slice(p_sh, (r, 0, 0, 0), (1, L, 2, C))
+            p_sh = jax.lax.dynamic_update_slice(
+                p_sh, jnp.where(m, sh.astype(p_sh.dtype), old), (r, 0, 0, 0))
+            wk = jax.lax.dynamic_slice(
+                st.wkv, (0, s, 0, 0), (L, 1, N, HN)).transpose(1, 0, 2, 3)
+            oldw = jax.lax.dynamic_slice(p_wk, (r, 0, 0, 0), (1, L, N, HN))
+            p_wk = jax.lax.dynamic_update_slice(
+                p_wk, jnp.where(m, wk.astype(p_wk.dtype), oldw),
+                (r, 0, 0, 0))
+            p_el = jnp.where((jnp.arange(S) == r) & m, st.elapsed[s], p_el)
+            return p_sh, p_wk, p_el
+
+        p_sh, p_wk, p_el = jax.lax.fori_loop(
+            0, slots.shape[0], body,
+            (pool["shift"], pool["wkv"], pool["elapsed"]))
+        return {"shift": p_sh, "wkv": p_wk, "elapsed": p_el}
+
     def pool_store(self, carry, pool, slot: int, row: int):
         """Snapshot slot -> pool row, entirely on device; returns new pool."""
         self._apply_op_settings()
         return self._pool_store(carry, pool, jnp.int32(slot), jnp.int32(row))
+
+    def pool_store_many(self, carry, pool, pairs):
+        """Batched snapshots: pairs = [(slot, row), ...] (any count; chained
+        in fixed-size programs of POOL_STORE_BATCH). Returns the new pool."""
+        self._apply_op_settings()
+        R = self.POOL_STORE_BATCH
+        for i in range(0, len(pairs), R):
+            chunk = pairs[i:i + R]
+            slots = np.zeros((R,), np.int32)
+            rows = np.zeros((R,), np.int32)
+            mask = np.zeros((R,), bool)
+            for j, (s, r) in enumerate(chunk):
+                slots[j], rows[j], mask[j] = s, r, True
+            pool = self._pool_store_many(carry, pool, jnp.asarray(slots),
+                                         jnp.asarray(rows), jnp.asarray(mask))
+        return pool
 
     def pool_load(self, carry, pool, row: int, slot: int) -> BatchCarry:
         """Resume pool row -> slot, entirely on device; returns new carry.

@@ -219,3 +219,7 @@ class ModelLoadConfig:
     lockstep: bool = False
     # test hook: synthetic model instead of a checkpoint file
     synthetic_config: Optional[Dict[str, int]] = None
+    # test hooks: run Pallas kernels in interpret mode / pin the mm8 core —
+    # lets CPU tests drive the EXACT TPU numeric stack through the engine
+    interpret_pallas: bool = False
+    mm8_core: Optional[str] = None

@@ -131,6 +131,8 @@ class Worker:
         self._pending: Optional[_PendingStep] = None
         # snapshots dispatched last loop whose async D2H is resolving
         self._pending_snapshots: List[Tuple] = []
+        # non-lockstep pool snapshots queued for one batched store per phase
+        self._snapshot_batch: List[Tuple[int, int]] = []
         # lockstep prefix-cache machinery: slots awaiting their turn on the
         # per-loop fixed extract program, resume tasks awaiting the
         # vote-coordinated fixed resume-insert round
@@ -222,15 +224,10 @@ class Worker:
         if self.state_pool is not None:
             row = self.pool_allocator.alloc()
             if row is not None:
-                self.state_pool = self.model.pool_store(
-                    self.carry, self.state_pool, idx, row)
-                handle = PoolHandle(row=row, worker_id=self.worker_id,
-                                    allocator=self.pool_allocator,
-                                    device_bytes=self.model.pool_row_bytes())
-                slot.task.output_queue.put_nowait(("cache_prefill", {
-                    "state": handle,
-                    "prefilled_tokens": tuple(slot.prefilled_tokens),
-                }))
+                # queue for ONE batched pool-store per scheduling phase
+                # (per-slot dispatches cost an RPC each; an admission wave
+                # of 25 boundaries measured ~6s of dispatch latency)
+                self._snapshot_batch.append((idx, row))
                 slot.prefill_cached = True
                 return
         extract = getattr(self.model, "extract_slot_async", None)
@@ -245,6 +242,29 @@ class Worker:
                 (slot.task, tuple(slot.prefilled_tokens),
                  extract(self.carry, idx)))
         slot.prefill_cached = True
+
+    def _flush_snapshot_batch(self):
+        """Dispatch queued pool snapshots as one batched program and emit
+        their cache events. MUST run before the next state-advancing dispatch
+        so each snapshot captures its slot exactly at its boundary (device
+        programs execute in dispatch order)."""
+        if not self._snapshot_batch:
+            return
+        batch, self._snapshot_batch = self._snapshot_batch, []
+        self.state_pool = self.model.pool_store_many(
+            self.carry, self.state_pool, [(i, r) for i, r in batch])
+        for idx, row in batch:
+            slot = self.slots[idx]
+            handle = PoolHandle(row=row, worker_id=self.worker_id,
+                                allocator=self.pool_allocator,
+                                device_bytes=self.model.pool_row_bytes())
+            if slot.task is None or slot.task.is_finished():
+                handle.release()
+                continue
+            slot.task.output_queue.put_nowait(("cache_prefill", {
+                "state": handle,
+                "prefilled_tokens": tuple(slot.prefilled_tokens),
+            }))
 
     def _emit_ready_snapshots(self):
         """Resolve snapshots dispatched on a PREVIOUS loop (their D2H has
@@ -849,6 +869,8 @@ class Worker:
 
         self._fill_slots()
         self._check_seq_transitions()
+        self._flush_snapshot_batch()  # SEQ-boundary snapshots: capture now,
+        # before the decode dispatch advances anything
 
         n_active = sum(1 for s in self.slots
                        if s.phase in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL))
@@ -869,6 +891,9 @@ class Worker:
                 total, decode_count = self._dispatch_decode_step()
             one_prefill_count = total - decode_count
             self._seq_countdown -= K
+            # block-boundary snapshots (paused slots): capture before any
+            # prefill chunk advances more state
+            self._flush_snapshot_batch()
         else:
             self._seq_countdown = 0
 

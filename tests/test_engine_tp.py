@@ -157,3 +157,33 @@ def test_lockstep_engine_single_process(vocab_path, cpu_devices):
         assert tokens2 == tokens  # greedy + fresh zero state => identical
     finally:
         _shutdown(loop, engine)
+
+
+def test_tp2_matches_tp1_on_exact_tpu_stack(vocab_path, cpu_devices):
+    """tp=2 vs tp=1 greedy equality on the EXACT TPU numeric stack — int8
+    fused pallas_a8 kernels + Pallas WKV, interpret mode — through
+    AsyncEngineCore (VERDICT r2 golden-coverage gap (c); test_parallel.py
+    covers the same at the ServingModel level only)."""
+    results = {}
+    prompt = "hello world the User says hello"
+    for tp in (1, 2):
+        cfg = synthetic_model_config(
+            vocab_path, tensor_parallel=tp, quantization="int8",
+            use_pallas_wkv=True, interpret_pallas=True, mm8_core="pallas_a8",
+            activation_dtype="float32", wkv_state_dtype="float32",
+            synthetic_config=dict(n_layer=2, n_embd=128, vocab_size=320,
+                                  d_decay_lora=32, d_iclr_lora=32,
+                                  d_v_lora=16, d_gate_lora=32))
+        loop, engine = _init_engine(cfg)
+        try:
+            model = engine.workers[0].model
+            from chirrup_tpu.ops.mm8 import Mm8MultiWeight
+            assert isinstance(model.params["blocks"]["att"].get("Wrkv"),
+                              Mm8MultiWeight)  # the fused serving layout
+            results[tp] = _complete(loop, engine, prompt=prompt)
+        finally:
+            _shutdown(loop, engine)
+    # per-chip activation-quant scales differ under tp, so logits differ at
+    # ~1e-2 rel — but greedy token decisions must agree on this fixture
+    assert results[1] == results[2]
+    assert len(results[1]) >= 1

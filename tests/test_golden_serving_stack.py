@@ -158,3 +158,87 @@ def test_int8_pallas_serving_stack_vs_golden(golden, params):
     assert d.max() < 0.08, d.max()             # measured 0.031
     assert rel < 0.055, rel                     # measured 0.027
     assert _four_way_agreement(logits, exp) > 0.94  # measured 0.977
+
+
+def test_long_context_chunked_prefill_matches_oracle(params):
+    """>=1k tokens through the REAL serving ingestion path — compact chunked
+    prefill (gather/scatter, ragged lengths, tall variant) followed by decode —
+    must match the independent numpy oracle's final-position logits. Covers
+    what the short golden cannot: chunk bookkeeping, elapsed/dither evolution
+    and state numerics over a long prompt (VERDICT r2 gap: no long-context
+    golden)."""
+    from tests import oracle_numpy as oracle
+
+    rng = np.random.default_rng(17)
+    tokens = rng.integers(1, CFG.vocab_size, 1030).astype(np.int32)
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    oracle_logits, _ = oracle.forward_tokens(params_np, tokens)
+
+    rt = RuntimeConfig(activation_dtype=jnp.float32,
+                       wkv_state_dtype=jnp.float32,
+                       quantization=None, use_pallas_wkv=False)
+    model = ServingModel(CFG, params, rt, batch_size=4, prefill_chunk=8)
+    carry = model.init_carry()
+    carry = model.insert_slot(carry, 1, None, _T())
+
+    # chunked prefill of tokens[:-1] through the compact program (slot 1)
+    P, T = model.prefill_variants[-1]
+    pos = 0
+    prompt = tokens[:-1]
+    while pos < len(prompt):
+        n = min(T, len(prompt) - pos)
+        chunk = np.zeros((P, T), np.int32)
+        lens = np.zeros((P,), np.int32)
+        sidx = np.arange(P, dtype=np.int32)
+        chunk[0, :n] = prompt[pos:pos + n]
+        lens[0] = n
+        sidx[0], sidx[1] = 1, 0  # slot 1 in row 0; pad rows distinct
+        carry = model.prefill_step_compact(carry, chunk, lens, sidx)
+        pos += n
+    act = np.array([False, True, False, False])
+    carry, _, raw = model.decode_step(
+        carry, jnp.asarray([0, int(tokens[-1]), 0, 0], jnp.int32),
+        jnp.asarray(act), jnp.asarray(act))
+    got = np.asarray(raw[1], np.float32)
+    np.testing.assert_allclose(got, oracle_logits[-1], rtol=0, atol=5e-4)
+    assert int(carry.state.elapsed[1]) == len(tokens)
+
+
+def test_resume_from_snapshot_bitexact_logits(params):
+    """Snapshot -> fresh-slot resume -> decode must produce BIT-identical
+    logits to the uninterrupted run (fp32 stack; the snapshot round trip has
+    no numeric path that may differ)."""
+    rng = np.random.default_rng(23)
+    prompt = rng.integers(1, CFG.vocab_size, 24).astype(np.int32)
+    tail = rng.integers(1, CFG.vocab_size, 6).astype(np.int32)
+
+    rt = RuntimeConfig(activation_dtype=jnp.float32,
+                       wkv_state_dtype=jnp.float32,
+                       quantization=None, use_pallas_wkv=False)
+    model = ServingModel(CFG, params, rt, batch_size=2, prefill_chunk=8)
+
+    def decode_all(carry, slot, toks):
+        outs = []
+        act = np.zeros(2, bool)
+        act[slot] = True
+        for t in toks:
+            feed = np.zeros(2, np.int32)
+            feed[slot] = t
+            carry, _, raw = model.decode_step(
+                carry, jnp.asarray(feed), jnp.asarray(act), jnp.asarray(act))
+            outs.append(np.asarray(raw[slot], np.float32))
+        return carry, np.stack(outs)
+
+    # uninterrupted: slot 0 eats prompt + tail
+    c1 = model.insert_slot(model.init_carry(), 0, None, _T())
+    c1, _ = decode_all(c1, 0, prompt)
+    _, logits_ref = decode_all(c1, 0, tail)
+
+    # snapshot after prompt, resume into the OTHER slot
+    c2 = model.insert_slot(model.init_carry(), 0, None, _T())
+    c2, _ = decode_all(c2, 0, prompt)
+    snap = model.extract_slot(c2, 0)
+    c2 = model.insert_slot(c2, 1, snap, _T())
+    _, logits_res = decode_all(c2, 1, tail)
+
+    np.testing.assert_array_equal(logits_res, logits_ref)
