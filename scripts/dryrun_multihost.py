@@ -231,6 +231,63 @@ def child(pid: int, port: int):
     with open(f"/tmp/dryrun_multihost_p{pid}.stop", "w") as f:
         f.write(str(extra))
 
+    # ---- phase 4: the ACTUAL deployment shape — AsyncEngineCore + the HTTP
+    # app per host, lockstep across both processes, per-host device-pool
+    # prefix cache: serve over live HTTP, then repeat the identical prompt so
+    # the second request resumes from the pool via a vote-coordinated round.
+    import asyncio
+
+    import aiohttp
+    from aiohttp import web
+
+    from chirrup_tpu.server.app import create_app
+    from chirrup_tpu.server.config import ServerConfig
+    from tests.engine_fixtures import write_tiny_vocab
+
+    vocab = write_tiny_vocab(f"/tmp/dryrun_vocab_p{pid}.txt")
+    http_port = _free_port()
+    sc = ServerConfig(synthetic_model=f"2,{64 * tp}", vocab_path=vocab,
+                      vocab_size=64 * tp * 2, batch_size=8,
+                      state_cache_size=4, lockstep=1, tensor_parallel=tp,
+                      quantization="int8", activation_dtype="float32",
+                      wkv_state_dtype="float32", host="127.0.0.1",
+                      port=http_port)
+    app = create_app(sc)
+
+    async def drive():
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", http_port)
+        await site.start()
+        url = f"http://127.0.0.1:{http_port}/v1/chat/completions"
+        body = {"model": "rwkv-latest:no-thinking",
+                "messages": [{"role": "user",
+                              "content": f"hello from host {pid} again ok"}],
+                "stream": False, "max_tokens": 4, "temperature": 0.0}
+        outs = []
+        async with aiohttp.ClientSession() as s:
+            for _ in range(2):  # second hit resumes from the device pool
+                async with s.post(url, json=body,
+                                  timeout=aiohttp.ClientTimeout(
+                                      total=240)) as r:
+                    assert r.status == 200, await r.text()
+                    outs.append(await r.json())
+        c1 = outs[0]["choices"][0]["message"]["content"]
+        c2 = outs[1]["choices"][0]["message"]["content"]
+        assert c1 == c2, (c1, c2)  # pool resume bit-matches the cold run
+        eng = app["engine"]
+        await runner.cleanup()  # engine.shutdown -> coordinated vote
+        # hold the process (and the jax.distributed coordination service)
+        # alive until BOTH hosts' workers reach shutdown quorum — exiting
+        # early kills the other host's collectives mid-vote
+        eng.join(timeout=120)
+        return c1
+
+    text = asyncio.run(drive())
+    print(f"[p{pid}] engine+HTTP lockstep OK: {text!r}", flush=True)
+    with open(f"/tmp/dryrun_multihost_p{pid}.http", "w") as f:
+        f.write("ok")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -267,6 +324,8 @@ def main():
     stops = [open(f"/tmp/dryrun_multihost_p{i}.stop").read()
              for i in range(N_PROC)]
     assert stops[0] == stops[1], f"hosts exited after different loop counts: {stops}"
+    assert all(open(f"/tmp/dryrun_multihost_p{i}.http").read() == "ok"
+               for i in range(N_PROC)), "engine+HTTP lockstep phase failed"
     print(f"dryrun_multihost OK: {N_PROC} processes x {LOCAL_DEVICES} devices, "
           "batch dp-sharded across processes, tp-sharded model within each")
 

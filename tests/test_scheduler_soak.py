@@ -98,3 +98,104 @@ def test_randomized_scheduler_soak(vocab_path):
         engine.shutdown()
         engine.join(timeout=10)
         loop.close()
+
+
+def test_lockstep_scheduler_soak(vocab_path):
+    """Lockstep-mode churn (VERDICT r2: 'lockstep is the least-tested mode
+    with the most moving parts'): randomized prompts/params, mid-flight
+    aborts, cache_prefill snapshots through the fixed per-loop pool program,
+    and pool resumes through vote rounds — every request terminates, slots
+    drain, and the unsupported-feature rejections fail loudly (not hang)."""
+    rng = random.Random(20260819)
+    loop = asyncio.new_event_loop()
+    engine = AsyncEngineCore()
+    cfg = synthetic_model_config(
+        vocab_path, tensor_parallel=2,
+        synthetic_config=dict(n_layer=2, n_embd=128, vocab_size=320,
+                              d_decay_lora=32, d_iclr_lora=32, d_v_lora=16,
+                              d_gate_lora=32))
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, lockstep=True)
+    loop.run_until_complete(asyncio.wait_for(
+        engine.init(worker_num=1, model_config=cfg, batch_size=4,
+                    load_timeout=180, decode_block_size=2,
+                    state_pool_size=6), timeout=240))
+
+    words = ["hello", "world", "the", "User", "Assistant", "ok", "maybe",
+             "again", "and", "so"]
+    snapshots = []
+
+    async def one(i, reuse_state=None):
+        n_words = rng.randint(1, 25)
+        prompt = " ".join(rng.choice(words) for _ in range(n_words))
+        max_tokens = rng.randint(1, 10)
+        abort_after = rng.choice([None, None, None, 1, 2])
+        want_cache = rng.random() < 0.4
+        kwargs = {}
+        if reuse_state is not None:
+            ids = engine.tokenizer.encode(prompt)
+            kwargs = dict(prefill_tokens=list(ids[-2:]) or [5],
+                          state=reuse_state)
+        completion = engine.completion(
+            prompt,
+            temperature=rng.choice([0.0, 0.7]),
+            top_p=rng.choice([0.2, 0.8]),
+            max_tokens=max_tokens,
+            stop_tokens=[0],
+            forbidden_tokens=rng.choice([(), (7, 8, 9)]),
+            presence_penalty=rng.choice([0.0, 0.4]),
+            frequency_penalty=0.0,
+            cache_prefill=want_cache,
+            cache_prefill_padding=rng.choice([0, 3]),
+            **kwargs,
+        )
+        toks = []
+        async for event in completion:
+            if event[0] == "cache_prefill":
+                snapshots.append(event[1]["state"])
+            elif event[0] == "token":
+                toks.append(event[1])
+                if abort_after is not None and len(toks) >= abort_after:
+                    completion.abort()
+        assert completion.task.is_finished(), i
+        assert len(toks) <= max_tokens
+        return len(toks)
+
+    async def go():
+        counts = []
+        for wave in range(3):
+            jobs = [one(i) for i in range(6)]
+            if snapshots and wave > 0:
+                h = snapshots[rng.randrange(len(snapshots))]
+                if hasattr(h, "acquire"):
+                    h.acquire()  # mimic the app holding a ref per resume
+                jobs.append(one(99, reuse_state=h))
+            counts += await asyncio.gather(*jobs)
+        # a rejected-feature task fails loudly (completion event, no hang)
+        bad = engine.completion("hello", return_logits=True, max_tokens=2,
+                                stop_tokens=[0])
+        got = []
+        async for event in bad:
+            got.append(event)
+        assert bad.task.is_finished()
+        return counts
+
+    try:
+        counts = loop.run_until_complete(asyncio.wait_for(go(), 300))
+        assert len(counts) >= 18
+
+        import time as _time
+        w = engine.workers[0]
+        for _ in range(200):
+            if (all(s.phase == SlotPhase.EMPTY for s in w.slots)
+                    and engine.task_queue.empty()
+                    and not w._resume_pending):
+                break
+            _time.sleep(0.05)
+        assert all(s.phase == SlotPhase.EMPTY for s in w.slots)
+        assert not w._resume_pending
+        assert engine.task_queue.empty()
+    finally:
+        engine.shutdown()
+        engine.join(timeout=15)
+        loop.close()
