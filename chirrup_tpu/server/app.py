@@ -106,6 +106,21 @@ async def handle_models(request: web.Request) -> web.Response:
         ModelsResponse(data=request.app["model_list"]).model_dump())
 
 
+async def handle_metrics(request: web.Request) -> web.Response:
+    """Latest per-worker serving telemetry (the reference exposes the same
+    payloads only through the Python API, engine_core.py:290-325): rolling
+    loop time, per-phase slot counts, HBM high-water, state-cache size."""
+    app = request.app
+    cache = app.get("state_cache")
+    body = {
+        "workers": dict(app.get("worker_perf", {})),
+        "state_cache": None if cache is None else {
+            "entries": len(cache), "bytes": cache.total_bytes()},
+        "timestamp": time.time(),
+    }
+    return web.json_response(body)
+
+
 async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
     app = request.app
     engine: AsyncEngineCore = app["engine"]
@@ -470,6 +485,12 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
                   owned_by="chirrup_tpu"),
     ]
 
+    app["worker_perf"] = {}
+
+    async def _perf_collector(app_):
+        async for worker_id, payload in app_["engine"].iter_worker_performance():
+            app_["worker_perf"][worker_id] = payload
+
     async def on_startup(app_):
         if app_["engine"] is None:
             eng = AsyncEngineCore()
@@ -479,8 +500,12 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
                            model_factory=model_factory,
                            state_pool_size=config.state_cache_size)
             app_["engine"] = eng
+        app_["perf_task"] = asyncio.create_task(_perf_collector(app_))
 
     async def on_cleanup(app_):
+        task = app_.get("perf_task")
+        if task is not None:
+            task.cancel()
         if app_["engine"] is not None:
             app_["engine"].shutdown()
 
@@ -488,6 +513,7 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
     app.on_cleanup.append(on_cleanup)
 
     app.router.add_get("/health", handle_health)
+    app.router.add_get("/metrics", handle_metrics)
     app.router.add_get("/v1/models", handle_models)
     app.router.add_post("/v1/chat/completions", handle_chat_completions)
     app.router.add_post("/v1/batch/translate", handle_translate)

@@ -124,9 +124,23 @@ async def run_load(url, args):
                 cur = stats["tokens"]
                 tpots = list(stats["tpot"].values())
                 mean_tpot = sum(tpots) / len(tpots) if tpots else 0
+                perf = ""
+                try:
+                    async with session.get(f"{url}/metrics") as m:
+                        j = await m.json()
+                    w = next(iter(j["workers"].values()), None)
+                    if w:
+                        td = w.get("task_details", {})
+                        perf = (f" | loop {w['avg_loop_time']*1000:5.0f} ms"
+                                f" d{td.get('decode_count', '?')}"
+                                f" p{td.get('one_prefill_count', '?')}"
+                                f" s{td.get('seq_prefill_count', '?')}")
+                except Exception:  # noqa: BLE001
+                    pass
                 print(f"[{time.time()-t0:6.1f}s] {(cur-prev)/2:7.0f} tok/s | "
                       f"TPOT {mean_tpot*1000:6.1f} ms | "
-                      f"done {stats['done']}/{args.concurrency}", flush=True)
+                      f"done {stats['done']}/{args.concurrency}{perf}",
+                      flush=True)
                 prev = cur
 
         rep = asyncio.create_task(reporter())

@@ -290,3 +290,26 @@ def test_malformed_requests_error_envelopes(server_setup):
     # extreme-but-typed params may legitimately serve (clamped by sampler
     # semantics) or 4xx — either way, valid JSON and no hang
     assert ok_status == 200
+
+
+def test_metrics_endpoint(server_setup):
+    loop, client = server_setup
+
+    async def go():
+        # generate something so worker telemetry exists
+        body = {"model": "rwkv-latest:no-thinking",
+                "messages": [{"role": "user", "content": "hello"}],
+                "stream": False, "max_tokens": 2, "temperature": 0.0}
+        r = await client.post("/v1/chat/completions", json=body)
+        assert r.status == 200
+        await r.json()
+        await asyncio.sleep(0.2)  # let the perf collector drain an event
+        resp = await client.get("/metrics")
+        return resp.status, await resp.json()
+
+    status, body = _run(loop, go())
+    assert status == 200
+    assert "workers" in body and "state_cache" in body
+    if body["workers"]:
+        perf = next(iter(body["workers"].values()))
+        assert "avg_loop_time" in perf and "task_details" in perf
