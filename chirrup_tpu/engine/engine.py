@@ -155,7 +155,8 @@ class AsyncEngineCore:
                    batch_size: int = 32, *, load_timeout: float = 300.0,
                    decode_block_size: Optional[int] = None,
                    model_factory: Optional[Callable] = None,
-                   state_pool_size: int = 0) -> None:
+                   state_pool_size: int = 0,
+                   warmup_programs: bool = False) -> None:
         """Spawn workers and wait for the worker_loaded handshake
         (reference engine_core.py:89-173, 300 s timeout).
 
@@ -249,6 +250,7 @@ class AsyncEngineCore:
                 lockstep=lockstep,
                 slot_range=slot_range,
                 state_pool_size=pool_n,
+                warmup_programs=warmup_programs,
             )
             self.workers.append(worker)
             self.worker_threads.append(start_worker_thread(worker))

@@ -88,7 +88,8 @@ class Worker:
                  lockstep: bool = False,
                  slot_range: Optional[Tuple[int, int]] = None,
                  state_pool_size: int = 0,
-                 pool_allocator: Optional[StatePoolAllocator] = None):
+                 pool_allocator: Optional[StatePoolAllocator] = None,
+                 warmup_programs: bool = False):
         self.worker_id = worker_id
         self._model_factory = model_factory
         self.task_queue = task_queue
@@ -122,6 +123,7 @@ class Worker:
         self.state_pool_size = state_pool_size
         self.pool_allocator = pool_allocator
         self.state_pool = None
+        self.warmup_programs = warmup_programs
 
         self.shutdown_flag = False
         self._stop_vote = False   # lockstep: voted to shut down, awaiting quorum
@@ -164,6 +166,44 @@ class Worker:
             "worker_id": self.worker_id,
             "batch_size": self.batch_size,
         })
+
+    def _warmup_programs(self):
+        """Compile every serving program on no-op inputs before the first
+        request. Remote TPU compiles are tens of seconds EACH; without this
+        they land mid-serving as multi-second stalls the first time each
+        program shape is hit (first admission wave -> wide prefill variant,
+        first snapshot -> pool store, ...). All-inactive masks/zero lengths
+        leave the carry exactly zero (only the sampler rng advances)."""
+        m, B = self.model, self.batch_size
+        K = max(self.decode_block_size, 1)
+        zK = np.zeros((K, B), np.int32)
+        fK = np.zeros((K, B), bool)
+        t0 = time.time()
+        if K > 1 or self.lockstep:
+            self.carry, _, _ = m.decode_block(self.carry, zK, fK, fK, fK)
+        if not self.lockstep:
+            self.carry, _, _ = m.decode_step(
+                self.carry, np.zeros((B,), np.int32), np.zeros((B,), bool),
+                np.zeros((B,), bool))
+            for P, T in getattr(m, "prefill_variants", []):
+                self.carry = m.prefill_step_compact(
+                    self.carry, np.zeros((P, T), np.int32),
+                    np.zeros((P,), np.int32), np.arange(P, dtype=np.int32))
+        else:
+            self.carry = m.prefill_step(
+                self.carry, np.zeros((B, m.prefill_chunk), np.int32),
+                np.zeros((B,), np.int32))
+        self.carry = m.insert_slots_batched(
+            self.carry, np.zeros((B,), bool), [None] * B)
+        if self.state_pool is not None and not self.lockstep:
+            # store/load slot 0 <-> row 0 while everything is still zeros
+            self.state_pool = m.pool_store_many(self.carry, self.state_pool,
+                                                [(0, 0)])
+            self.carry = m.pool_load(self.carry, self.state_pool, 0, 0)
+        import jax as _jax
+        _jax.block_until_ready(self.carry.state.elapsed)
+        print(f"[{self.worker_id}] serving programs warmed in "
+              f"{time.time() - t0:.0f}s", flush=True)
 
     def _emit_worker_event(self, kind: str, payload: Dict):
         if self.worker_event_queue is not None:
@@ -959,6 +999,8 @@ class Worker:
         try:
             if self.model is None:
                 self._init_worker()
+            if self.warmup_programs:
+                self._warmup_programs()
         except Exception as exc:  # noqa: BLE001
             import traceback
             traceback.print_exc()

@@ -498,7 +498,8 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
             await eng.init(worker_num=config.worker_num, model_config=mc,
                            batch_size=config.batch_size,
                            model_factory=model_factory,
-                           state_pool_size=config.state_cache_size)
+                           state_pool_size=config.state_cache_size,
+                           warmup_programs=True)
             app_["engine"] = eng
         app_["perf_task"] = asyncio.create_task(_perf_collector(app_))
 
