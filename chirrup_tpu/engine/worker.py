@@ -108,9 +108,12 @@ class Worker:
         # admission + decode block (+ periodic prefill), all no-op-safe when
         # idle — so every host issues identical SPMD launches and replicated
         # carry leaves (the sampler rng above all) stay bit-identical across
-        # processes without any cross-host plan exchange. Requires: fresh
-        # (zero-state) admissions only (state cache off), no cache snapshots,
-        # no return_logits. See docs/ARCHITECTURE.md §multi-host.
+        # processes without any cross-host plan exchange. The per-host
+        # prefix cache works through FIXED programs too: snapshots ride a
+        # per-loop masked pool-store, resumes ride vote-coordinated rounds
+        # (votes cross dp inside the decode block). Not supported:
+        # return_logits (per-step global-array fetch) and forbidden sets
+        # beyond the capped id buffer. See docs/ARCHITECTURE.md §multi-host.
         self.lockstep = lockstep
         self.slot_range = slot_range or (0, batch_size)
 

@@ -130,3 +130,82 @@ def test_aggregate_health(router_setup):
 
     status2, body2 = _run(loop, go2())
     assert body2["healthy_count"] == 1
+
+
+def test_router_efficiency_under_saturated_backends():
+    """The >=85% scaling bar's ACTUAL failure mode is routing under queueing
+    and SSE fan-out at a saturated backend — not idle-CPU headroom (the
+    benchmark_scaling CPU numbers exceeded 100% for that reason, PERF.md).
+    Here each backend has a hard token-rate cap and a bounded slot count, the
+    client oversubscribes 2x, and the router must still deliver >=85% of the
+    backends' combined capacity."""
+    RATE = 400.0      # tokens/s per backend (hard cap)
+    SLOTS = 8         # concurrent streams per backend
+    TOKENS = 40       # per request
+    N_BACK = 2
+    OVERSUB = 2       # 2x more streams than total slots
+
+    def make_throttled(name):
+        app = web.Application()
+        sem = asyncio.Semaphore(SLOTS)
+
+        async def health(request):
+            return web.json_response({"status": "healthy", "backend": name})
+
+        async def chat(request):
+            await request.json()
+            async with sem:  # bounded batch: extras queue (backpressure)
+                resp = web.StreamResponse()
+                resp.headers["Content-Type"] = "text/event-stream"
+                await resp.prepare(request)
+                interval = SLOTS / RATE  # each slot emits RATE/SLOTS tok/s
+                for i in range(TOKENS):
+                    await asyncio.sleep(interval)
+                    await resp.write(
+                        f"data: {json.dumps({'b': name, 'i': i})}\n\n".encode())
+                await resp.write(b"data: [DONE]\n\n")
+                await resp.write_eof()
+                return resp
+
+        app.router.add_get("/health", health)
+        app.router.add_post("/v1/chat/completions", chat)
+        return app
+
+    loop = asyncio.new_event_loop()
+    servers = [TestServer(make_throttled(f"b{i}")) for i in range(N_BACK)]
+    for s in servers:
+        loop.run_until_complete(s.start_server())
+    urls = [f"http://{s.host}:{s.port}" for s in servers]
+    router = TestClient(TestServer(create_router_app(urls)), loop=loop)
+    loop.run_until_complete(router.start_server())
+
+    async def one(i, counts):
+        body = {"stream": True, "messages": [], "model": "m"}
+        async with router.post("/v1/chat/completions", json=body) as resp:
+            while True:
+                raw = await resp.content.readline()
+                if not raw:
+                    break
+                if raw.startswith(b"data: ") and b"[DONE]" not in raw:
+                    counts[0] += 1
+
+    async def go():
+        import time
+        n_streams = N_BACK * SLOTS * OVERSUB
+        counts = [0]
+        t0 = time.time()
+        await asyncio.gather(*[one(i, counts) for i in range(n_streams)])
+        return counts[0] / (time.time() - t0)
+
+    try:
+        tps = loop.run_until_complete(asyncio.wait_for(go(), 120))
+        capacity = N_BACK * RATE
+        eff = tps / capacity
+        # >=85%: the router + proxy layer may not eat more than 15% of a
+        # SATURATED backend pool's throughput (queueing, fan-out, SSE relay)
+        assert eff >= 0.85, f"router efficiency {eff:.2%} below 85% bar"
+    finally:
+        loop.run_until_complete(router.close())
+        for s in servers:
+            loop.run_until_complete(s.close())
+        loop.close()
