@@ -107,6 +107,16 @@ class AsyncEngineCompletion:
                 if message_type == "cache_prefill":
                     return ("cache_prefill", payload)
 
+    def drain_buffered(self) -> List[tuple]:
+        """Pop every already-buffered ("token", ...) event WITHOUT awaiting —
+        after one __anext__ returns the first token of a coalesced block, the
+        rest are host-resident; consumers that can handle a batch (the SSE
+        handler) take them all in one pass instead of K await round trips
+        (each await is an event-loop task switch; at thousands of tok/s over
+        hundreds of streams those switches saturated the loop)."""
+        out, self._token_buffer = self._token_buffer, []
+        return out
+
     def get_full_completion(self) -> "asyncio.Task[str]":
         async def fetch_all() -> str:
             parts: List[str] = []
