@@ -147,6 +147,35 @@ class Worker:
 
     # ------------------------------------------------------------------ setup
 
+    _SLOW_CALL_S = float(os.environ.get("CHIRRUP_TPU_LOG_SLOW", "0") or 0)
+
+    def _wrap_slow_logging(self):
+        """CHIRRUP_TPU_LOG_SLOW=<seconds>: log any ServingModel call that
+        blocks the scheduler thread longer than the threshold (dispatch-side
+        stall diagnosis; dispatches are normally async and ~ms)."""
+        if not self._SLOW_CALL_S:
+            return
+        thresh = self._SLOW_CALL_S
+        model = self.model
+        for name in ("decode_block", "decode_step", "prefill_step",
+                     "prefill_step_compact", "insert_slot",
+                     "insert_slots_batched", "pool_store_many", "pool_load",
+                     "extract_slot", "extract_slot_async"):
+            fn = getattr(model, name, None)
+            if fn is None:
+                continue
+
+            def wrapped(*a, _fn=fn, _name=name, **kw):
+                t0 = time.perf_counter()
+                out = _fn(*a, **kw)
+                dt = time.perf_counter() - t0
+                if dt > thresh:
+                    print(f"[{self.worker_id}] SLOW {_name}: {dt:.2f}s",
+                          flush=True)
+                return out
+
+            setattr(model, name, wrapped)
+
     def _init_worker(self):
         self.model, self.tokenizer = self._model_factory()
         self.carry = self.model.init_carry()
@@ -164,6 +193,7 @@ class Worker:
             self.state_pool = self.model.init_state_pool(self.state_pool_size)
             if self.pool_allocator is None:
                 self.pool_allocator = StatePoolAllocator(self.state_pool_size)
+        self._wrap_slow_logging()
         self._emit_worker_event("worker_loaded", {
             "status": "success",
             "worker_id": self.worker_id,
