@@ -296,13 +296,19 @@ class Worker:
         slot = self.slots[idx]
         if self.state_pool is not None:
             row = self.pool_allocator.alloc()
-            if row is not None:
-                # queue for ONE batched pool-store per scheduling phase
-                # (per-slot dispatches cost an RPC each; an admission wave
-                # of 25 boundaries measured ~6s of dispatch latency)
-                self._snapshot_batch.append((idx, row))
+            if row is None:
+                # pool exhausted (a snapshot burst outran LRU releases): SKIP
+                # the snapshot — the cache is capacity-bounded by the pool
+                # anyway, and falling back to host-RAM extraction here
+                # measured multi-second D2H stalls per snapshot mid-serving
                 slot.prefill_cached = True
                 return
+            # queue for ONE batched pool-store per scheduling phase
+            # (per-slot dispatches cost an RPC each; an admission wave
+            # of 25 boundaries measured ~6s of dispatch latency)
+            self._snapshot_batch.append((idx, row))
+            slot.prefill_cached = True
+            return
         extract = getattr(self.model, "extract_slot_async", None)
         if extract is None:
             state = self.model.extract_slot(self.carry, idx)
