@@ -182,7 +182,10 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
             att["k_k"].reshape(-1), att["k_a"].reshape(-1),
             att["r_k"].reshape(-1), lnw_nh, lnb_nh, elapsed, ln, li)
         y = y_nh.transpose(0, 2, 1).reshape(B, 1, Hl * N).astype(x.dtype)
-        out = reduce_fn(matmul(y * g, att["Wo"]))
+        # gate rides the mm8 kernel's quantization prologue (one fewer (B, C)
+        # XLA pass; legal under tp — g and y are both head-local, and the
+        # multiply precedes the row-parallel Wo)
+        out = reduce_fn(matmul(y, att["Wo"], mul_in=g))
         new_shift = _masked_last(x, lengths, shift_prev)
         return out, new_shift, v_first_new, wkv_full_new
 
@@ -198,7 +201,7 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
     y = group_norm(y, Hl, att["ln_x_w"], att["ln_x_b"], eps=64e-5)
     bonus = (r * k * att["r_k"].reshape(-1)).reshape(B, T, Hl, N).sum(-1, keepdims=True)
     y = y + (bonus * v.reshape(B, T, Hl, N)).reshape(B, T, Hl * N)
-    out = reduce_fn(matmul(y * g, att["Wo"]))
+    out = reduce_fn(matmul(y, att["Wo"], mul_in=g))
 
     new_shift = _masked_last(x, lengths, shift_prev)
     return out, new_shift, v_first_new, wkv_full_new

@@ -325,7 +325,7 @@ def mm8_ffn_matmul(x, wk, wv):
     return mm8_matmul(kk, wv)
 
 
-def mm8_matmul(x, w, *, core=None, activation=None):
+def mm8_matmul(x, w, *, core=None, activation=None, mul_in=None):
     """Decomposed-dequant matmul. x: (..., K) float; returns (..., M) in x.dtype.
 
     w: Mm8Weight, or LayerIndexed for one layer of a stacked Mm8Weight.
@@ -338,6 +338,8 @@ def mm8_matmul(x, w, *, core=None, activation=None):
     activation scale+quantize, int8 GEMM, rank-1 dequant corrections — runs as
     one fused Pallas kernel with zero XLA-side elementwise passes (those f32
     passes measured ~30-80us per matmul at B=200, ~10 ms/step at 7.2B).
+    `mul_in` (an elementwise input multiplier, the TMix gate) rides the fused
+    kernel's quantization prologue on that path.
     """
     if core is None and _resolved_core() == "pallas_a8" and x.ndim >= 1:
         from chirrup_tpu.ops.mm8_pallas import (
@@ -347,6 +349,7 @@ def mm8_matmul(x, w, *, core=None, activation=None):
         K = x.shape[-1]
         x2 = x.reshape(-1, K)
         B = x2.shape[0]
+        mul2 = None if mul_in is None else mul_in.reshape(-1, K)
         if isinstance(w, LayerIndexed):
             Mo = w.w.q.shape[2]
             if mm8_fused_supported(B, K, Mo):
@@ -355,14 +358,17 @@ def mm8_matmul(x, w, *, core=None, activation=None):
                 y = mm8_fused_a8_stacked(
                     x2, pick(w.w.mx), pick(w.w.rx), pick(w.w.my),
                     pick(w.w.ry), w.w.q, w.li, activation=activation,
-                    interpret=_interpret())
+                    mul_in=mul2, interpret=_interpret())
                 return y.reshape(lead + (Mo,))
         else:
             Mo = w.q.shape[1]
             if mm8_fused_supported(B, K, Mo):
                 y = mm8_fused_a8(x2, w.mx, w.rx, w.my, w.ry, w.q,
-                                 activation=activation, interpret=_interpret())
+                                 activation=activation, mul_in=mul2,
+                                 interpret=_interpret())
                 return y.reshape(lead + (Mo,))
+    if mul_in is not None:
+        x = x * mul_in
 
     if isinstance(w, LayerIndexed):
         stacked, li = w.w, w.li

@@ -277,7 +277,8 @@ def _apply_activation(y, activation):
 
 
 def _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref, o_ref,
-                     xs8_ref, stats_ref, *, n_k, activation=None, m_axis=0):
+                     xs8_ref, stats_ref, *, n_k, activation=None, m_axis=0,
+                     mul_ref=None):
     """Whole mm8 matmul in one kernel: activation scale+quantize, int8 GEMM,
     decomposed-dequant corrections, bf16 output.
 
@@ -295,9 +296,11 @@ def _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref, o_ref,
 
     @pl.when(pl.program_id(m_axis) == 0)
     def _prep():
+        xf = x_ref[:].astype(f32)
+        if mul_ref is not None:
+            xf = xf * mul_ref[:].astype(f32)  # fused input gate
         x8, s, xs_sum, x_sum, xmy_sum = _quant_rows(
-            x_ref[:].astype(f32), ry_ref[:].astype(f32),
-            my_ref[:].astype(f32))
+            xf, ry_ref[:].astype(f32), my_ref[:].astype(f32))
         xs8_ref[:] = x8
         stats_ref[:, 0:1] = s
         stats_ref[:, 1:2] = xs_sum
@@ -371,7 +374,8 @@ def _a8_xq_kernel(x8_ref, stats_ref, mx_ref, rx_ref, q_ref, o_ref, *,
     o_ref[:] = _apply_activation(y, activation).astype(o_ref.dtype)
 
 
-def _fused_a8_call(x, mx, rx, my, ry, q, layer, *, interpret, activation):
+def _fused_a8_call(x, mx, rx, my, ry, q, layer, *, interpret, activation,
+                   mul_in=None):
     """Shared implementation of the fused single-projection kernels. Three
     regimes by row count (B may be slots x chunk tokens at prefill):
 
@@ -395,6 +399,11 @@ def _fused_a8_call(x, mx, rx, my, ry, q, layer, *, interpret, activation):
     out2 = 2 * B * bm * xb
     resident = B * (K * (xb + 1) + 8 * K) + 2 * K * bm + out2 + 512 * B
     xq_resident = B * (K + 16) + 2 * K * bm + out2
+    if mul_in is not None and resident > _RESIDENT_BUDGET:
+        # only the resident kernel fuses the input multiplier; other regimes
+        # (prefill shapes) premultiply in XLA, which they'd pay anyway
+        x = x * mul_in
+        mul_in = None
     if resident <= _RESIDENT_BUDGET:
         Bt, rows = B, False
         grid = (M // bm,)
@@ -452,6 +461,9 @@ def _fused_a8_call(x, mx, rx, my, ry, q, layer, *, interpret, activation):
         m_axis = 1
 
     *in_specs, o_spec = _fused_specs(Bt, K, M, bm, stacked=stacked, rows=rows)
+    if mul_in is not None:
+        # same block shape/index as x, inserted right after it
+        in_specs = [in_specs[0], in_specs[0]] + list(in_specs[1:])
     scratch = [pltpu.VMEM((Bt, K), jnp.int8),
                pltpu.VMEM((Bt, 128), jnp.float32)]
     cost = pl.CostEstimate(
@@ -469,50 +481,86 @@ def _fused_a8_call(x, mx, rx, my, ry, q, layer, *, interpret, activation):
             num_scalar_prefetch=1, grid=grid, in_specs=list(in_specs),
             out_specs=o_spec, scratch_shapes=scratch)
 
-        def kernel(li_ref, x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref,
-                   o_ref, xs8_ref, stats_ref):
-            _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref[0],
-                             o_ref, xs8_ref, stats_ref, n_k=n_k,
-                             activation=activation, m_axis=m_axis)
+        if mul_in is None:
+            def kernel(li_ref, x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref,
+                       o_ref, xs8_ref, stats_ref):
+                _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref,
+                                 q_ref[0], o_ref, xs8_ref, stats_ref, n_k=n_k,
+                                 activation=activation, m_axis=m_axis)
 
+            args = (jnp.asarray(layer, jnp.int32).reshape(1), x,
+                    mx.reshape(1, M), rx.reshape(1, M), my.reshape(1, K),
+                    ry.reshape(1, K), q)
+        else:
+            def kernel(li_ref, x_ref, mul_ref, mx_ref, rx_ref, my_ref,
+                       ry_ref, q_ref, o_ref, xs8_ref, stats_ref):
+                _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref,
+                                 q_ref[0], o_ref, xs8_ref, stats_ref, n_k=n_k,
+                                 activation=activation, m_axis=m_axis,
+                                 mul_ref=mul_ref)
+
+            args = (jnp.asarray(layer, jnp.int32).reshape(1), x, mul_in,
+                    mx.reshape(1, M), rx.reshape(1, M), my.reshape(1, K),
+                    ry.reshape(1, K), q)
         y = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             compiler_params=cparams, cost_estimate=cost, interpret=interpret,
-        )(jnp.asarray(layer, jnp.int32).reshape(1), x, mx.reshape(1, M),
-          rx.reshape(1, M), my.reshape(1, K), ry.reshape(1, K), q)
+        )(*args)
     else:
-        y = pl.pallas_call(
-            functools.partial(_a8_fused_kernel, n_k=n_k,
-                              activation=activation, m_axis=m_axis),
-            grid=grid, in_specs=list(in_specs), out_specs=o_spec,
-            out_shape=out_shape, scratch_shapes=scratch,
-            compiler_params=cparams, cost_estimate=cost, interpret=interpret,
-        )(x, mx.reshape(1, M), rx.reshape(1, M), my.reshape(1, K),
-          ry.reshape(1, K), q)
+        if mul_in is None:
+            y = pl.pallas_call(
+                functools.partial(_a8_fused_kernel, n_k=n_k,
+                                  activation=activation, m_axis=m_axis),
+                grid=grid, in_specs=list(in_specs), out_specs=o_spec,
+                out_shape=out_shape, scratch_shapes=scratch,
+                compiler_params=cparams, cost_estimate=cost,
+                interpret=interpret,
+            )(x, mx.reshape(1, M), rx.reshape(1, M), my.reshape(1, K),
+              ry.reshape(1, K), q)
+        else:
+            def kernel_mul(x_ref, mul_ref, mx_ref, rx_ref, my_ref, ry_ref,
+                           q_ref, o_ref, xs8_ref, stats_ref):
+                _a8_fused_kernel(x_ref, mx_ref, rx_ref, my_ref, ry_ref, q_ref,
+                                 o_ref, xs8_ref, stats_ref, n_k=n_k,
+                                 activation=activation, m_axis=m_axis,
+                                 mul_ref=mul_ref)
+
+            y = pl.pallas_call(
+                kernel_mul,
+                grid=grid, in_specs=list(in_specs), out_specs=o_spec,
+                out_shape=out_shape, scratch_shapes=scratch,
+                compiler_params=cparams, cost_estimate=cost,
+                interpret=interpret,
+            )(x, mul_in, mx.reshape(1, M), rx.reshape(1, M),
+              my.reshape(1, K), ry.reshape(1, K), q)
     return y[:B] if y.shape[0] != B else y
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "activation"))
-def mm8_fused_a8(x, mx, rx, my, ry, q, *, interpret=False, activation=None):
+def mm8_fused_a8(x, mx, rx, my, ry, q, *, interpret=False, activation=None,
+                 mul_in=None):
     """Fused full mm8 matmul: (B, K) float x (K, M) int8 -> (B, M) in x.dtype.
 
     Scale vectors are the Mm8Weight fields (rx/ry stored /16). Equivalent to
     ops.mm8.mm8_matmul with the a8 core, but with zero XLA-side elementwise
-    passes. Any B: large row counts (prefill) run on a row-tiled grid."""
+    passes. Any B: large row counts (prefill) run on a row-tiled grid.
+    mul_in: optional (B, K) elementwise input multiplier fused into the
+    quantization prologue (the TMix output gate)."""
     return _fused_a8_call(x, mx, rx, my, ry, q, None, interpret=interpret,
-                          activation=activation)
+                          activation=activation, mul_in=mul_in)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "activation"))
 def mm8_fused_a8_stacked(x, mx, rx, my, ry, q_stacked, layer, *,
-                         interpret=False, activation=None):
+                         interpret=False, activation=None, mul_in=None):
     """Fused full mm8 matmul on layer `layer` of stacked (L, K, M) int8 codes.
 
     The per-layer scale vectors are passed already sliced (they are O(K+M) f32 —
     the XLA slice is negligible); the codes are indexed in the BlockSpec via
     scalar prefetch, never copied. Any B (see mm8_fused_a8)."""
     return _fused_a8_call(x, mx, rx, my, ry, q_stacked, layer,
-                          interpret=interpret, activation=activation)
+                          interpret=interpret, activation=activation,
+                          mul_in=mul_in)
 
 
 def _a8_fused_multi_kernel(x_ref, xx_ref, mu_ref, mx_ref, rx_ref, my_ref,

@@ -81,23 +81,29 @@ def _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT,
     `seg`, and both per-head broadcasts (v, sa) into one dot against `segT`.
 
     Returns (S_new, y_nh, extras): y in (Bt, N, H) i-on-sublane layout, extras
-    the (Bt, 1, H) per-head reductions of each extra (Bt, HN) row."""
+    the (Bt, 1, H) per-head reductions of each extra (Bt, HN) row.
+
+    Dot layout: the two big per-head reductions (over S*a and S*(d1*r)) run
+    as SEPARATE dots rather than one concatenated dot — concatenating the two
+    (Bt*N, HN) operands materialized both as copies (two extra full-state VPU
+    passes per token; the kernel is VPU-bound). The tiny (Bt, HN) rows still
+    share one dot. The per-head broadcasts (v, sa) keep their shared dot:
+    their operands are (Bt, N, H) — 64x smaller, the copies are noise."""
     Bt, N, HN = S.shape
     d1r = d1 * r_row
-    X = jnp.concatenate([
-        (S * a_row).reshape(Bt * N, HN),
-        (S * d1r).reshape(Bt * N, HN),
+    sa_nh = _dot32((S * a_row).reshape(Bt * N, HN), seg, precision) \
+        .reshape(Bt, N, -1)
+    y1 = _dot32((S * d1r).reshape(Bt * N, HN), seg, precision) \
+        .reshape(Bt, N, -1)
+    rows = jnp.concatenate([
         (r_row * k_row).reshape(Bt, HN),
         (r_row * b_row).reshape(Bt, HN),
         *[e.reshape(Bt, HN) for e in extra_rows]], axis=0)
-    R = _dot32(X, seg, precision)
-    sa_nh = R[:Bt * N].reshape(Bt, N, -1)
-    y1 = R[Bt * N:2 * Bt * N].reshape(Bt, N, -1)
-    rk = R[2 * Bt * N:2 * Bt * N + Bt].reshape(Bt, 1, -1)
-    rb = R[2 * Bt * N + Bt:2 * Bt * N + 2 * Bt].reshape(Bt, 1, -1)
-    extras = tuple(
-        R[2 * Bt * N + (2 + i) * Bt:2 * Bt * N + (3 + i) * Bt]
-        .reshape(Bt, 1, -1) for i in range(len(extra_rows)))
+    R = _dot32(rows, seg, precision)
+    rk = R[:Bt].reshape(Bt, 1, -1)
+    rb = R[Bt:2 * Bt].reshape(Bt, 1, -1)
+    extras = tuple(R[(2 + i) * Bt:(3 + i) * Bt].reshape(Bt, 1, -1)
+                   for i in range(len(extra_rows)))
     BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, -1),
                                  sa_nh.reshape(Bt * N, -1)], axis=0),
                 segT, precision)

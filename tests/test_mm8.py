@@ -502,3 +502,23 @@ def test_fused_a8_multi_xq_matches_separate(rng, monkeypatch):
     for m in range(n_in):
         np.testing.assert_allclose(out[:, m * C:(m + 1) * C], refs[m],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_a8_mul_in_matches_premultiplied(rng):
+    """mul_in (the TMix gate fused into the quant prologue) == multiplying x
+    in XLA first, on both the flat and stacked resident kernels."""
+    from chirrup_tpu.ops.mm8 import quantize
+    from chirrup_tpu.ops.mm8_pallas import mm8_fused_a8, mm8_fused_a8_stacked
+
+    B, K, M = 8, 256, 256
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, K)) * 0.5, jnp.float32)
+    w = quantize(rng.standard_normal((K, M)).astype(np.float32) * 0.05)
+    want = np.asarray(mm8_fused_a8(x * g, w.mx, w.rx, w.my, w.ry, w.q,
+                                   interpret=True))
+    got = np.asarray(mm8_fused_a8(x, w.mx, w.rx, w.my, w.ry, w.q,
+                                  interpret=True, mul_in=g))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    got_s = np.asarray(mm8_fused_a8_stacked(
+        x, w.mx, w.rx, w.my, w.ry, w.q[None], 0, interpret=True, mul_in=g))
+    np.testing.assert_allclose(got_s, want, rtol=1e-5, atol=1e-5)
