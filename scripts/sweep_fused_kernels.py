@@ -62,18 +62,23 @@ def main():
     F = 4 * K
     qk, qv = q8(L, K, F), q8(L, F, K)
 
+    def sync(out):
+        # block_until_ready is NOT a reliable barrier on the axon backend
+        # (returns before execution); fetching a computed slice is
+        np.asarray(jax.device_get(out[:1, :8].astype(jnp.float32)))
+
     def timed(run, n):
-        jax.block_until_ready(run(x0, n))  # compile+warm
+        sync(run(x0, n))  # compile+warm
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(x0, n))
+            sync(run(x0, n))
             ts.append(time.perf_counter() - t0)
         t1 = min(ts)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(x0, 2 * n))
+            sync(run(x0, 2 * n))
             ts.append(time.perf_counter() - t0)
         t2 = min(ts)
         return (t2 - t1) / n  # slope: per-iteration cost
@@ -140,7 +145,10 @@ def main():
 
     if args.only != "rkv":
         sweep("ffn", make_ffn, K * F + F * K,
-              [{}, {(K, F): 512}, {(K, F): 512, (F, K): 512}])
+              [{}, {(K, F): 512}, {(K, F): 512, (F, K): 512},
+               {(K, F): 1024}, {(K, F): 1024, (F, K): 512},
+               {(K, F): 2048}, {(K, F): 1024, (F, K): 1024},
+               {(K, F): 2048, (F, K): 512}])
 
 
 if __name__ == "__main__":
