@@ -279,7 +279,10 @@ def main():
         size = "1.5B"
     else:
         cfg = RWKV7Config(n_layer=32, n_embd=4096)  # g1 7.2B dims
-        batch = args.batch or 200
+        # B=384 is the measured knee of the batch curve (200: 7,063; 320:
+        # 7,576; 384: 7,767; 448: 7,654 tok/s) and still gives 20.2
+        # tok/s/request - above the reference headline's own 16/req bar
+        batch = args.batch or 384
         size = "7.2B"
 
     dev = jax.devices()[0]
