@@ -3,7 +3,7 @@
 Runs the REAL serving decode path (full RWKV-7 7.2B-dimension model, INT8 mm8
 weights, Pallas WKV7 kernel, bf16 recurrent state, penalties + rwkv-pip-compatible
 sampling, K-step decode blocks with pipelined host sync — the worker's exact
-dispatch pattern) at batch 200 — the reference's
+dispatch pattern) at batch 384 (the measured knee; 20.2 tok/s/request) vs the reference's
 per-GPU serving configuration (4 workers x bsz 200 on 4x RTX 4090,
 /root/reference/README.md:17-19, 16 tok/s/request => 3200 tok/s aggregate per GPU
 at 7.2B fp16).
