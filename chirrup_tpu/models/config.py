@@ -63,8 +63,13 @@ class RuntimeConfig:
     quantization: Optional[str] = None
     # use the Pallas WKV kernel (False falls back to the lax.scan reference impl)
     use_pallas_wkv: bool = True
-    # in-kernel reduction precision: "highest" (multi-pass f32) or "default"
-    # (bf16-rounded MXU inputs — still above the reference's fp16 accumulation)
+    # in-kernel reduction precision: "highest" (multi-pass f32), "default"
+    # (bf16-rounded MXU inputs — still above the reference's fp16
+    # accumulation), or "bf16" (state-tile elementwise in packed bf16 with the
+    # delta-form update `S += S*d + ...` — the reference fp16 kernel's own
+    # scheme, cuda/rwkv7_state_fwd_fp16.cu:78; 2x VPU throughput on the
+    # VPU-bound WKV kernel, dots see the same bf16-rounded operands as
+    # "default")
     wkv_precision: str = "default"
     # top-k candidate selection in the serving sampler: True uses the TPU-native
     # approx_max_k (exact top_k lowers to a full 65536-wide sort — it alone was

@@ -820,18 +820,28 @@ def mm8_fused_supported(B: int, K: int, M: int) -> bool:
     return bool(_pick_bm(K, M))
 
 
-_MAX_FFN_SCRATCH = 256 * 16384  # (B, d_ffn) bf16+int8 scratch cap (~10MB)
+def _ffn_resident_bytes(B: int, K: int, F: int, M: int,
+                        xb: int = 2) -> int:
+    """VMEM footprint of the one-launch FFN pair at B resident rows: x + the
+    (B, F) intermediate (each bf16 + int8 scratch), double-buffered weight
+    tiles for both phases, and the output tile."""
+    bm1, bm2 = _pick_bm(K, F), _pick_bm(F, M)
+    per_row = K * (xb + 1) + F * (xb + 1)
+    return B * per_row + 2 * (K * bm1 + F * bm2) + 2 * B * bm2 * xb
 
 
 def mm8_ffn_supported(B: int, K: int, F: int, M: int) -> bool:
     """Bounds for the two-phase FFN PAIR kernel: M is the second GEMM's
     output dim — checked with the same _pick_bm the kernel uses (M == K for
-    CMix, but the predicate must not assume it). The (B, F) VMEM intermediate
-    caps the rows at decode shapes; larger row counts (prefill) fall back to
-    two fused single matmuls (mm8.mm8_ffn_matmul), each of which picks the
-    xq-resident or row-grid regime."""
+    CMix, but the predicate must not assume it). Gated on the pair's actual
+    resident VMEM footprint (the round-2 flat B*F cap silently kicked the
+    B=384 decode headline config off the one-launch pair even though its
+    ~41MB footprint fits); larger row counts (prefill) fall back to two fused
+    single matmuls (mm8.mm8_ffn_matmul), each of which picks the xq-resident
+    or row-grid regime — re-streaming both weight matrices per row block in
+    the pair's rows-grid would cost more than the two-launch fallback."""
     return bool(_pick_bm(K, F) and _pick_bm(F, M)
-                and B * K <= _MAX_RESIDENT_X and B * F <= _MAX_FFN_SCRATCH)
+                and _ffn_resident_bytes(B, K, F, M) <= _RESIDENT_BUDGET)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -850,7 +860,10 @@ def mm8_fused_a8_ffn_stacked(x, kmx, krx, kmy, kry, qk_stacked,
     assert K == K2 and F == F2 and L == L2
     bm1 = _pick_bm(K, F)
     bm2 = _pick_bm(F, M)
-    if not mm8_ffn_supported(B, K, F, M):
+    if not (bm1 and bm2):
+        # row counts beyond the resident budget run the kernel's own
+        # row-tiled grid; mm8_ffn_supported is the DISPATCHER's policy
+        # (mm8.mm8_ffn_matmul prefers two single-stream launches there)
         raise ValueError(f"unsupported ffn shapes B={B} K={K} F={F} M={M}")
     n1 = F // bm1
     n2 = M // bm2

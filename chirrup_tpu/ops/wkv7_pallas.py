@@ -56,6 +56,25 @@ def _seg_matrices(HN, H):
     return seg, seg.T
 
 
+def _parse_precision(precision: str, state_dtype):
+    """precision string -> (lax dot precision, compute-in-state-dtype flag).
+
+    "bf16" keeps the state tile in its stored bf16 dtype through the
+    elementwise update (the VPU runs packed bf16 at 2x f32 throughput and the
+    kernel is VPU-bound — docs/PERF.md); the recurrence then uses the DELTA
+    form `S += S*d + v k^T + sa b^T` with d = decay-1+dither, exactly the
+    reference fp16 kernel's scheme (cuda/rwkv7_state_fwd_fp16.cu:78: s_ij +=
+    s_ij*w + ...) — multiplying by d1~1.0 directly in bf16 would quantize
+    slow decays to ULP(1.0)=2^-8 steps, the delta form keeps rounding
+    relative to the (small) per-step change."""
+    if precision == "highest":
+        return jax.lax.Precision.HIGHEST, False
+    if precision == "bf16":
+        return (jax.lax.Precision.DEFAULT,
+                jnp.dtype(state_dtype) == jnp.bfloat16)
+    return jax.lax.Precision.DEFAULT, False
+
+
 def _decay_row(w_row, step_idx, use_dither):
     """Raw decay logits -> in-kernel multiplier `decay - 1 (+ fp16 dither)`.
     step_idx: (Bt, 1) int32 total-tokens counter (reference rotator1,
@@ -69,7 +88,7 @@ def _decay_row(w_row, step_idx, use_dither):
 
 
 def _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT,
-                  precision, extra_rows=()):
+                  precision, extra_rows=(), bf16_state=False):
     """One token of the WKV-7 recurrence on a (Bt, N, HN) f32 state tile.
 
     2-dot algebraic form (exact, ~6% faster than the naive 4-dot form): with
@@ -88,13 +107,29 @@ def _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT,
     (Bt*N, HN) operands materialized both as copies (two extra full-state VPU
     passes per token; the kernel is VPU-bound). The tiny (Bt, HN) rows still
     share one dot. The per-head broadcasts (v, sa) keep their shared dot:
-    their operands are (Bt, N, H) — 64x smaller, the copies are noise."""
+    their operands are (Bt, N, H) — 64x smaller, the copies are noise.
+
+    bf16_state: keep the state tile in its stored bf16 dtype through every
+    full-state elementwise pass (VPU packed bf16 = 2x f32 throughput; the
+    kernel is VPU-bound) and apply the update in DELTA form
+    `S += S*d + v k^T + sa b^T` with d = d1-1 — the reference fp16 kernel's
+    own scheme (see _parse_precision). Row-sized math (d1, products with r)
+    stays f32; only state-tile passes change dtype. At DEFAULT dot precision
+    the MXU rounds f32 inputs to bf16 anyway, so the dots see essentially the
+    same operands either way."""
     Bt, N, HN = S.shape
     d1r = d1 * r_row
-    sa_nh = _dot32((S * a_row).reshape(Bt * N, HN), seg, precision) \
-        .reshape(Bt, N, -1)
-    y1 = _dot32((S * d1r).reshape(Bt * N, HN), seg, precision) \
-        .reshape(Bt, N, -1)
+    if bf16_state:
+        cd = S.dtype
+        sa_nh = _dot32((S * a_row.astype(cd)).reshape(Bt * N, HN),
+                       seg.astype(cd), precision).reshape(Bt, N, -1)
+        y1 = _dot32((S * d1r.astype(cd)).reshape(Bt * N, HN),
+                    seg.astype(cd), precision).reshape(Bt, N, -1)
+    else:
+        sa_nh = _dot32((S * a_row).reshape(Bt * N, HN), seg, precision) \
+            .reshape(Bt, N, -1)
+        y1 = _dot32((S * d1r).reshape(Bt * N, HN), seg, precision) \
+            .reshape(Bt, N, -1)
     rows = jnp.concatenate([
         (r_row * k_row).reshape(Bt, HN),
         (r_row * b_row).reshape(Bt, HN),
@@ -104,19 +139,34 @@ def _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT,
     rb = R[Bt:2 * Bt].reshape(Bt, 1, -1)
     extras = tuple(R[(2 + i) * Bt:(3 + i) * Bt].reshape(Bt, 1, -1)
                    for i in range(len(extra_rows)))
-    BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, -1),
-                                 sa_nh.reshape(Bt * N, -1)], axis=0),
-                segT, precision)
-    v_exp = BC[:Bt * N].reshape(Bt, N, HN)
-    sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
-    S_new = S * d1 + v_exp * k_row + sa_exp * b_row
+    if bf16_state:
+        cd = S.dtype
+        # Mosaic requires 32-bit matmul accumulators; cast the f32 result to
+        # bf16 immediately (fuses into the matmul's output stage) so the
+        # state-sized delta math below runs at packed-bf16 VPU rate
+        BC = _dot32(
+            jnp.concatenate([v_nh.astype(cd).reshape(Bt * N, -1),
+                             sa_nh.astype(cd).reshape(Bt * N, -1)], axis=0),
+            segT.astype(cd), precision).astype(cd)
+        v_exp = BC[:Bt * N].reshape(Bt, N, HN)
+        sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
+        d = (d1 - 1.0).astype(cd)
+        S_new = S + (S * d + v_exp * k_row.astype(cd)
+                     + sa_exp * b_row.astype(cd))
+    else:
+        BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, -1),
+                                     sa_nh.reshape(Bt * N, -1)], axis=0),
+                    segT, precision)
+        v_exp = BC[:Bt * N].reshape(Bt, N, HN)
+        sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
+        S_new = S * d1 + v_exp * k_row + sa_exp * b_row
     y = y1 + v_nh * rk + sa_nh * rb
     return S_new, y, extras
 
 
 def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
                  elapsed_ref, length_ref, y2_ref, state_out_ref, *, T,
-                 use_dither, precision):
+                 use_dither, precision, bf16_state=False):
     """Bt requests per program: per-request row broadcasts are elementwise on the
     (Bt, N, HN) state tile, and the per-head segment reductions run as single
     (Bt*N, HN) x (HN, H) MXU dots across the whole tile (the multiply by the
@@ -132,7 +182,7 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
     elapsed = elapsed_ref[:].reshape(Bt, 1)           # int32
     length = length_ref[:].reshape(Bt, 1)             # int32
 
-    S0 = state_ref[0].astype(f32)                     # (Bt, N, HN)
+    S0 = state_ref[0] if bf16_state else state_ref[0].astype(f32)
 
     # Token rows are loaded in GROUPS of 8: a per-token dynamic load
     # r_ref[:, pl.ds(t, 1), :] indexes the SUBLANE dim of the (Bt, T, HN)
@@ -172,7 +222,8 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
             k_row = jnp.where(active, k_row, 0.0)
             b_row = jnp.where(active, b_row, 0.0)
             S, y, _ = _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh,
-                                    seg, segT, precision)
+                                    seg, segT, precision,
+                                    bf16_state=bf16_state)
             y2_ref[:, pl.ds(t, 1)] = jnp.where(
                 active, y, 0.0).astype(y2_ref.dtype)[:, None]
         return S
@@ -183,7 +234,7 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
 
 def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
                     v_ref, elapsed_ref, length_ref, y_ref, state_out_ref, *,
-                    use_dither, precision):
+                    use_dither, precision, bf16_state=False):
     """Decode-specialized (T=1) variant: r/w/k/a/b are plain 2-D (Bt, HN)
     lane-layout rows (the generic path's (B, 1, C) shapes made XLA insert
     T(2,128) relayout copies in front of the call — profiled ~2.3 ms/step at
@@ -196,7 +247,7 @@ def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
 
     active = (length_ref[:] > 0)[:, :, None]            # (Bt, 1, 1)
 
-    S = state_ref[0].astype(f32)                        # (Bt, N, HN)
+    S = state_ref[0] if bf16_state else state_ref[0].astype(f32)
     r_row = r_ref[:].astype(f32)[:, None, :]            # (Bt, 1, HN)
     w_row = w_ref[:].astype(f32)[:, None, :]
     k_row = k_ref[:].astype(f32)[:, None, :]
@@ -209,7 +260,7 @@ def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
     k_row = jnp.where(active, k_row, 0.0)    # d1=1, k=0, b=0 => S_new == S,
     b_row = jnp.where(active, b_row, 0.0)    # no (Bt, N, HN) select pass
     S_new, y, _ = _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh,
-                                seg, segT, precision)
+                                seg, segT, precision, bf16_state=bf16_state)
     y_ref[:] = jnp.where(active, y, 0.0).astype(y_ref.dtype)
     state_out_ref[0] = S_new.astype(state_out_ref.dtype)
 
@@ -217,7 +268,8 @@ def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
 def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
                           kk_param_ref, ka_param_ref, rk_param_ref, lnw_ref,
                           lnb_ref, elapsed_ref, length_ref, y_ref,
-                          state_out_ref, *, use_dither, precision):
+                          state_out_ref, *, use_dither, precision,
+                          bf16_state=False):
     """T=1 decode kernel with the WHOLE TMix core fused in.
 
     Beyond the recurrence (see _wkv7_kernel), this absorbs the per-head ops
@@ -239,7 +291,7 @@ def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
 
     active = (length_ref[:] > 0)[:, :, None]            # (Bt, 1, 1)
 
-    S = state_ref[0].astype(f32)                        # (Bt, N, HN)
+    S = state_ref[0] if bf16_state else state_ref[0].astype(f32)
     r_row = r_ref[:].astype(f32)[:, None, :]            # (Bt, 1, HN)
     w_row = w_ref[:].astype(f32)[:, None, :]
     k_raw = k_ref[:].astype(f32)                        # (Bt, HN)
@@ -266,7 +318,8 @@ def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
     b_row = jnp.where(active, b_row, 0.0)    # no (Bt, N, HN) select pass
     S_new, y, (bonus,) = _token_update(
         S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT, precision,
-        extra_rows=(r_row[:, 0] * k_t * rk_p,))         # bonus row
+        extra_rows=(r_row[:, 0] * k_t * rk_p,),         # bonus row
+        bf16_state=bf16_state)
 
     # ---- epilogue: per-head GroupNorm + bonus*v (reference rwkv7.py:647-648)
     mu = jnp.mean(y, axis=1, keepdims=True)             # (Bt, 1, H)
@@ -294,8 +347,10 @@ def wkv7_pallas_step_fused(state, layer, r, w_raw, k_raw, a_iclr, v_nh,
     B, HN = r.shape
     N = _N
     H = HN // N
+    prec, bf16_state = _parse_precision(precision, state.dtype)
     Bt = _pick_batch_tile(B, 1, HN, row_isz=r.dtype.itemsize,
-                          state_isz=state.dtype.itemsize)
+                          state_isz=state.dtype.itemsize,
+                          carry_isz=2 if bf16_state else 4)
 
     def bspec(*tile):
         return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
@@ -304,10 +359,8 @@ def wkv7_pallas_step_fused(state, layer, r, w_raw, k_raw, a_iclr, v_nh,
         return pl.BlockSpec(tile, lambda i, li: (0,) * len(tile))
 
     state_spec = pl.BlockSpec((1, Bt, N, HN), lambda i, li: (li[0], i, 0, 0))
-    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(_wkv7_kernel_t1_fused, use_dither=use_dither,
-                               precision=prec)
+                               precision=prec, bf16_state=bf16_state)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // Bt,),
@@ -359,17 +412,17 @@ def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,
     B, HN = r.shape
     N = _N
     H = HN // N
+    prec, bf16_state = _parse_precision(precision, state.dtype)
     Bt = _pick_batch_tile(B, 1, HN, row_isz=r.dtype.itemsize,
-                          state_isz=state.dtype.itemsize)
+                          state_isz=state.dtype.itemsize,
+                          carry_isz=2 if bf16_state else 4)
 
     def bspec(*tile):
         return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
 
     state_spec = pl.BlockSpec((1, Bt, N, HN), lambda i, li: (li[0], i, 0, 0))
-    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(_wkv7_kernel_t1, use_dither=use_dither,
-                               precision=prec)
+                               precision=prec, bf16_state=bf16_state)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // Bt,),
@@ -405,7 +458,7 @@ def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,
 
 
 def _pick_batch_tile(B: int, T: int, HN: int, *, row_isz: int = 2,
-                     state_isz: int = 2) -> int:
+                     state_isz: int = 2, carry_isz: int = 4) -> int:
     """Largest Bt with the program's VMEM footprint ~under 68MB (state f32 tile +
     double-buffered staging of state/rows), so Mosaic can still double-buffer.
 
@@ -431,7 +484,7 @@ def _pick_batch_tile(B: int, T: int, HN: int, *, row_isz: int = 2,
     T_pad = T
 
     def footprint(bt: int) -> int:
-        return (bt * _N * HN * 4                       # S carry f32
+        return (bt * _N * HN * carry_isz               # S carry (f32 or bf16)
                 + 2 * 2 * bt * _N * HN * state_isz     # state in/out x2 buf
                 + 2 * 5 * bt * T_pad * HN * row_isz    # r,w,k,a,b x2 buf
                 + 2 * 2 * bt * T * _N * H_pad * row_isz)  # v,y (lane-padded)
@@ -466,18 +519,18 @@ def _wkv7_pallas_call(state, layer, r, w_raw, k, a, b, v2, elapsed, lengths, *,
     B, T, HN = r.shape
     N = _N
     H = HN // N
+    prec, bf16_state = _parse_precision(precision, state.dtype)
     Bt = _pick_batch_tile(B, T, HN, row_isz=r.dtype.itemsize,
-                          state_isz=state.dtype.itemsize)
+                          state_isz=state.dtype.itemsize,
+                          carry_isz=2 if bf16_state else 4)
 
     def bspec(*tile):
         return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
 
     state_spec = pl.BlockSpec((1, Bt, N, HN), lambda i, li: (li[0], i, 0, 0))
 
-    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(_wkv7_kernel, T=T, use_dither=use_dither,
-                               precision=prec)
+                               precision=prec, bf16_state=bf16_state)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # layer index
         grid=(B // Bt,),

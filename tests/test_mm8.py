@@ -522,3 +522,19 @@ def test_fused_a8_mul_in_matches_premultiplied(rng):
     got_s = np.asarray(mm8_fused_a8_stacked(
         x, w.mx, w.rx, w.my, w.ry, w.q[None], 0, interpret=True, mul_in=g))
     np.testing.assert_allclose(got_s, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ffn_pair_supported_at_headline_batch():
+    """The one-launch FFN pair must cover the decode headline config
+    (B=384, 7.2B dims): the round-2 flat B*F cap silently demoted it to two
+    launches + an XLA quant pass. Prefill row counts still fall back."""
+    from chirrup_tpu.ops.mm8_pallas import (mm8_ffn_supported,
+                                            _ffn_resident_bytes,
+                                            _RESIDENT_BUDGET)
+
+    assert mm8_ffn_supported(200, 4096, 16384, 4096)
+    assert mm8_ffn_supported(384, 4096, 16384, 4096)
+    assert mm8_ffn_supported(448, 4096, 16384, 4096)
+    # prefill shapes (slots x chunk tokens) exceed the resident budget
+    assert not mm8_ffn_supported(2048, 4096, 16384, 4096)
+    assert _ffn_resident_bytes(384, 4096, 16384, 4096) <= _RESIDENT_BUDGET

@@ -149,3 +149,69 @@ def test_fused_tmix_step_matches_composition(rng):
     np.testing.assert_allclose(np.asarray(s_f[li]), np.asarray(s_ref),
                                rtol=5e-4, atol=5e-4)
     np.testing.assert_array_equal(np.asarray(s_f[0]), np.asarray(state[0]))
+
+
+def test_bf16_compute_precision_mode(rng):
+    """precision="bf16" (state-tile elementwise in packed bf16 via the
+    delta-form update `S += S*d + v k^T + sa b^T` — the reference fp16
+    kernel's own scheme, cuda/rwkv7_state_fwd_fp16.cu:78) stays close to the
+    f32-compute reference on bf16-stored state, and bit-preserves masked
+    rows (d=0, k=0, b=0 => S + 0 == S exactly in bf16)."""
+    for B, T, H in ((3, 1, 2), (2, 16, 2)):
+        state, r, w, k, v, a, b, elapsed = _rand_inputs(
+            rng, B, T, H, state_dtype=jnp.bfloat16, in_dtype=jnp.bfloat16)
+        y_ref, s_ref = wkv7_reference_batch(
+            state.astype(jnp.float32), r, w, k, v, a, b, elapsed)
+        y_pl, s_pl = wkv7_pallas_batch(state, r, w, k, v, a, b, elapsed,
+                                       interpret=True, precision="bf16")
+        assert s_pl.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(y_pl, np.float32),
+                                   np.asarray(y_ref), rtol=4e-2, atol=4e-2)
+        np.testing.assert_allclose(np.asarray(s_pl, np.float32),
+                                   np.asarray(s_ref), rtol=4e-2, atol=4e-2)
+
+    # ragged mask: inactive rows' bf16 state passes through bit-identical
+    B, T, H = 3, 8, 2
+    state, r, w, k, v, a, b, elapsed = _rand_inputs(
+        rng, B, T, H, state_dtype=jnp.bfloat16, in_dtype=jnp.bfloat16)
+    lengths = jnp.asarray([8, 3, 0], jnp.int32)
+    y_pl, s_pl = wkv7_pallas_batch(state, r, w, k, v, a, b, elapsed,
+                                   lengths=lengths, interpret=True,
+                                   precision="bf16")
+    np.testing.assert_array_equal(
+        np.asarray(s_pl[2], np.float32), np.asarray(state[2], np.float32))
+    assert np.all(np.asarray(y_pl[1, 3:], np.float32) == 0)
+
+
+def test_bf16_compute_fused_step(rng):
+    """The TMix-fused decode kernel under precision="bf16" matches its own
+    f32-compute output within bf16 rounding of one step."""
+    from chirrup_tpu.ops.wkv7_pallas import wkv7_pallas_step_fused
+
+    B, L, H, N = 4, 2, 2, 64
+    C = H * N
+    bf = jnp.bfloat16
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), bf)
+    r, w, k_raw, v = f(B, C), f(B, C), f(B, C), f(B, C)
+    a_iclr = jax.nn.sigmoid(f(B, C).astype(jnp.float32)).astype(bf)
+    k_k, k_a, r_k = f(C) * 0.5, f(C) * 0.5, f(C) * 0.5
+    lnw_nh, lnb_nh = f(N, H), f(N, H)
+    state = jnp.asarray(rng.standard_normal((L, B, N, C)) * 0.2, bf)
+    elapsed = jnp.arange(B, dtype=jnp.int32) * 7
+    lengths = jnp.ones((B,), jnp.int32)
+    v_nh = v.reshape(B, H, N).transpose(0, 2, 1)
+
+    y32, s32 = wkv7_pallas_step_fused(
+        state, 1, r, w, k_raw, a_iclr, v_nh, k_k, k_a, r_k, lnw_nh, lnb_nh,
+        elapsed, lengths, interpret=True, precision="default")
+    y16, s16 = wkv7_pallas_step_fused(
+        state, 1, r, w, k_raw, a_iclr, v_nh, k_k, k_a, r_k, lnw_nh, lnb_nh,
+        elapsed, lengths, interpret=True, precision="bf16")
+    np.testing.assert_allclose(np.asarray(y16, np.float32),
+                               np.asarray(y32, np.float32),
+                               rtol=4e-2, atol=4e-2)
+    np.testing.assert_allclose(np.asarray(s16, np.float32),
+                               np.asarray(s32, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(s16[0], np.float32),
+                                  np.asarray(state[0], np.float32))
