@@ -39,22 +39,26 @@ def _pick_nk(K: int) -> int:
 def _pick_bm(K: int, M: int, budget: int = 8 * 1024 * 1024) -> int:
     """M-tile size for the weight stream.
 
-    Swept on v5e at B=200 with seconds-scale chained-loop totals
-    (scripts/sweep_fused_kernels.py, round-3 rerun with the device_get sync —
+    Swept on v5e with seconds-scale chained-loop totals
+    (scripts/sweep_fused_kernels.py, round-3 reruns with the device_get sync —
     block_until_ready is not a reliable barrier on this backend): 4096x4096
     wants bm=512 (Wo 32.8us vs 38.4 at 2048; the 2-step bm2048 grid cannot
-    pipeline DMA against the MXU), 4096x16384 wants 1024 (FFN pair 207.1us
-    vs 209.7 at 512, 212.0 at 2048 — 79% of DMA SOL), 16384x4096 keeps 256
-    (the deep K makes bigger tiles starve double-buffering; pairing it with
-    512 measured 216-219us)."""
+    pipeline DMA against the MXU); 4096x16384 wants 512 at the B=384 headline
+    batch (FFN pair 319.8us vs 356-368 at 1024 — at this B the pair is
+    MXU-bound, and the smaller tile keeps the int8 dots pipelined against the
+    phase-2 stream; B=200 measured 1024 ahead by only 1.2%, so 512 is the
+    shared choice); 16384x4096 keeps 256 (the deep K makes bigger tiles
+    starve double-buffering; pairing it with 512 measured 216-219us at B=200
+    and 366.9 vs 319.8 at B=384)."""
     cands = tuple(c for c in (2048, 1024, 512, 256, 128)
                   if K * c <= budget and M % c == 0)
     if not cands:
         return 0
     if K * M > 32 * 1024 * 1024:
-        if K <= 4096 and M <= 16384 and 1024 in cands:
-            return 1024
-        for small in (256, 512):
+        # deep-K (FFN-V 16384x4096): small tiles keep double-buffering fed;
+        # wide-M shallow-K (FFN-K 4096x16384): 512 (see sweep numbers above)
+        prefer = (256, 512) if K > 8192 else (512, 256)
+        for small in prefer:
             if small in cands:
                 return small
     if 512 in cands:
