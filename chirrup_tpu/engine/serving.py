@@ -34,6 +34,8 @@ from chirrup_tpu.ops import wkv7 as wkv7_ref
 from chirrup_tpu.ops import wkv7_pallas
 from chirrup_tpu.ops.sampling import (
     sample_logits_rwkv_pip_fast, record_sampled_token)
+from chirrup_tpu.ops.sampling_pallas import (
+    penalty_tail, penalty_tail_supported, sample_from_chunks)
 from chirrup_tpu.engine.structures import NO_PENALTY_TOKEN_IDS, RequestState
 
 @jax.tree_util.register_dataclass
@@ -505,6 +507,13 @@ class ServingModel:
 
         self._no_penalty_ids = jnp.asarray(sorted(NO_PENALTY_TOKEN_IDS), jnp.int32)
         self._seed = seed
+        # fused decode tail (ops/sampling_pallas): meshless only — under tp
+        # the (B, V) logits/penalty arrays are vocab-sharded and a pallas
+        # call outside shard_map would gather them whole
+        self._fused_tail = (
+            mesh is None and runtime.fused_penalty_tail
+            and (runtime.use_pallas_wkv or interpret_pallas)
+            and penalty_tail_supported(config.vocab_size))
 
         # params are explicit jit arguments — closing over them would embed the
         # weights as HLO constants (catastrophic compile times at multi-GB scale)
@@ -593,6 +602,31 @@ class ServingModel:
                 params, tokens, carry.state, active=active_mask,
                 wkv_fn=self._wkv_fn, compute_dtype=self.runtime.activation_dtype)
         raw_logits = logits  # pre-penalty (reference worker.py:714-716)
+
+        if self._fused_tail:
+            # ONE Pallas pass: record the PREVIOUS sample (deferred through
+            # last_sampled — bit-identical sequencing, sampling_pallas.py),
+            # decay, penalties, logsumexp, per-chunk candidate maxima
+            nopen = (carry.last_sampled[:, None]
+                     == self._no_penalty_ids[None, :]).any(-1)
+            upd = decode_mask & (carry.last_sampled >= 0) & ~nopen
+            occ2, pres2, cval, cidx, lse = penalty_tail(
+                raw_logits, carry.occurrence, carry.presence_vec,
+                carry.penalty_decay, carry.frequency_penalty,
+                carry.presence_penalty, carry.last_sampled, upd, decode_mask,
+                interpret=self._interpret)
+            rng, key = jax.random.split(carry.rng)
+            sampled = sample_from_chunks(
+                cval, cidx, lse, carry.temperature, carry.top_p, carry.top_k,
+                key, (raw_logits, pres2, occ2, carry.frequency_penalty),
+                row_mask=decode_mask, k_max=self.runtime.sampler_k_max)
+            sampled = jnp.where(decode_mask, sampled, -1)
+            carry = dataclasses.replace(
+                carry, state=new_state, occurrence=occ2, presence_vec=pres2,
+                rng=rng,
+                last_sampled=jnp.where(decode_mask, sampled,
+                                       carry.last_sampled))
+            return carry, sampled, raw_logits
 
         # occurrence decays at forward time, decode slots only (worker.py:723-728)
         occurrence = jnp.where(decode_mask[:, None],

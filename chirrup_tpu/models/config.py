@@ -81,6 +81,14 @@ class RuntimeConfig:
     # guards top_p coverage, so small k trades fallback frequency, not
     # correctness. Default top_p=0.3 needs only a handful of candidates.
     sampler_k_max: int = 128
+    # fused decode tail: ONE Pallas pass over (logits, occurrence, presence)
+    # does record+decay+penalties+logsumexp+candidate maxima, replacing
+    # ~2.2 ms/step of separate XLA (B, V) passes at B=384 (profiled). Engages
+    # when the model runs meshless with the Pallas kernels (under tp the
+    # (B, V) arrays are vocab-sharded and stay on the GSPMD path). The
+    # record is deferred one step through the device-resident last_sampled —
+    # bit-identical sequencing, see ops/sampling_pallas.py.
+    fused_penalty_tail: bool = True
     # inner int8 GEMM: "auto" resolves to "pallas_a8" on TPU (w8a8: dynamic
     # per-token int8 activations on the native int8 MXU, ~1.5x the bf16 dot,
     # +16% end-to-end at 7.2B/batch 200) and "xla" elsewhere. "pallas" is the
