@@ -234,6 +234,9 @@ def main():
     ap.add_argument("--mm8-core", default=None,
                     choices=["auto", "pallas", "pallas_a8", "xla", "xla_a8"],
                     help="override RuntimeConfig.mm8_core for this run")
+    ap.add_argument("--wkv-precision", default=None,
+                    choices=["highest", "default", "bf16"],
+                    help="override RuntimeConfig.wkv_precision for this run")
     args = ap.parse_args()
     if args.tp and args.workers > 1:
         ap.error("--tp and --workers>1 are mutually exclusive: the DP worker "
@@ -296,7 +299,8 @@ def main():
         wkv_state_dtype=jnp.bfloat16,
         quantization=None,  # already int8
         use_pallas_wkv=on_tpu,  # scan path off-TPU
-        **({"mm8_core": args.mm8_core} if args.mm8_core else {}))
+        **({"mm8_core": args.mm8_core} if args.mm8_core else {}),
+        **({"wkv_precision": args.wkv_precision} if args.wkv_precision else {}))
 
     K = args.block
     wkv_path = "pallas WKV" if on_tpu else "lax.scan WKV"

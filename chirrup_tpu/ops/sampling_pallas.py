@@ -83,16 +83,20 @@ def _penalty_tail_kernel(logits_ref, occ_ref, pres_ref, decay_ref, freq_ref,
 
     adj = logits_ref[:].astype(f32) - pres2 - occ2 * freq
 
-    # per-chunk maxima + first-argmax index (the candidate set)
+    # per-chunk maxima + first-argmax index (the candidate set). Outputs are
+    # written TRANSPOSED as (n_chunks, B): a (B, n_chunks=32) block would
+    # violate Mosaic's 128-lane rule for grid outputs, while (32, B) needs
+    # only 8-sublane alignment on the chunk dim and keeps B as the full lane
+    # dim (legal for any B).
     adj3 = adj.reshape(B, n_chunks, CHUNK)
     cmax = jnp.max(adj3, axis=-1)               # (B, n_chunks)
     in_lane = jax.lax.broadcasted_iota(jnp.int32, (B, n_chunks, CHUNK), 2)
     cidx_local = jnp.min(
         jnp.where(adj3 == cmax[:, :, None], in_lane, CHUNK), axis=-1)
-    cval_ref[:] = cmax
+    cval_ref[:] = cmax.T
     cidx_ref[:] = (t * W
                    + jax.lax.broadcasted_iota(jnp.int32, (B, n_chunks), 1)
-                   * CHUNK + cidx_local)
+                   * CHUNK + cidx_local).T
 
     # online logsumexp across tiles (scratch persists over the grid)
     @pl.when(t == 0)
@@ -155,15 +159,15 @@ def penalty_tail(logits, occurrence, presence_vec, penalty_decay,
         ],
         out_specs=[
             vtile(W), vtile(W),                     # occ2, pres2
-            pl.BlockSpec((B, W // CHUNK), lambda t: (0, t)),   # chunk vals
-            pl.BlockSpec((B, W // CHUNK), lambda t: (0, t)),   # chunk idx
+            pl.BlockSpec((W // CHUNK, B), lambda t: (t, 0)),   # chunk vals^T
+            pl.BlockSpec((W // CHUNK, B), lambda t: (t, 0)),   # chunk idx^T
             pl.BlockSpec((B, 1), lambda t: (0, 0)),            # lse
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, V), occurrence.dtype),
             jax.ShapeDtypeStruct((B, V), presence_vec.dtype),
-            jax.ShapeDtypeStruct((B, n_chunks_total), f32),
-            jax.ShapeDtypeStruct((B, n_chunks_total), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks_total, B), f32),
+            jax.ShapeDtypeStruct((n_chunks_total, B), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), f32),
         ],
         input_output_aliases={1: 0, 2: 1},          # occ, pres in place
@@ -184,7 +188,7 @@ def penalty_tail(logits, occurrence, presence_vec, penalty_decay,
       jnp.asarray(last_tok, jnp.int32).reshape(B, 1),
       jnp.asarray(upd_mask, bool).reshape(B, 1),
       jnp.asarray(decode_mask, bool).reshape(B, 1))
-    return occ2, pres2, cval, cidx, lse
+    return occ2, pres2, cval.T, cidx.T, lse
 
 
 def penalty_tail_reference(logits, occurrence, presence_vec, penalty_decay,
