@@ -3,6 +3,10 @@
 Same knob surface as the reference (/root/reference/chirrup/web_service/config.py:
 7-31, pydantic-settings there; plain argparse+env here since this image has no
 pydantic_settings). Env vars use the upper-cased flag name (MODEL_PATH, ...).
+
+`--profile <name>` applies a measured serving preset (the tuned configuration
+behind docs/PERF.md's headline numbers) before env/CLI overrides, so the
+benchmarked config is reachable with one flag instead of a flag soup.
 """
 
 from __future__ import annotations
@@ -35,8 +39,30 @@ class ServerConfig:
     # host before startup; forces the state cache off (lockstep admissions are
     # zero-state)
     lockstep: int = 0
+    # named preset of measured serving settings (see PROFILES below)
+    profile: str = ""
     # test/dev hook: "L,C" builds a synthetic model of that size
     synthetic_model: str = ""
+
+
+# Measured serving presets. Values here are only applied where the user did
+# not override the field via env var or CLI flag.
+PROFILES = {
+    # 7.2B (L32/C4096) INT8 on one TPU v5e chip — the docs/PERF.md headline
+    # config: batch 384 is the measured throughput knee (7.8k tok/s aggregate,
+    # 20 tok/s/request), 16-step decode blocks (worker default on TPU),
+    # bf16 activations + bf16 WKV state, HBM state pool of 50 prefix rows
+    # (~0.85 GB) beside 7.4 GB weights + 6.5 GB request state.
+    "v5e-7b2": {
+        "batch_size": 384,
+        "state_cache_size": 50,
+        "quantization": "int8",
+        "wkv_state_dtype": "bfloat16",
+        "activation_dtype": "bfloat16",
+        "prefill_chunk": 64,
+        "worker_num": 1,
+    },
+}
 
 
 _FIELDS = [f.name for f in dataclasses.fields(ServerConfig)]
@@ -47,11 +73,27 @@ def parse_config(argv: Optional[List[str]] = None) -> ServerConfig:
     parser = argparse.ArgumentParser(prog="chirrup_tpu.server",
                                      description="TPU-native RWKV-7 serving engine")
     for f in dataclasses.fields(ServerConfig):
-        env_val = os.environ.get(f.name.upper())
-        default = f.default if env_val is None else type(f.default)(env_val)
+        # default=None so "explicitly provided" is detectable; layering below
         parser.add_argument(f"--{f.name}", f"--{f.name.replace('_', '-')}",
-                            type=type(f.default), default=default)
+                            type=type(f.default), default=None)
     args = parser.parse_args(argv)
-    for name in _FIELDS:
-        setattr(cfg, name, getattr(args, name))
+
+    profile = args.profile if args.profile is not None \
+        else os.environ.get("PROFILE", "")
+    if profile and profile not in PROFILES:
+        parser.error(f"unknown --profile {profile!r}; "
+                     f"available: {sorted(PROFILES)}")
+
+    for f in dataclasses.fields(ServerConfig):
+        value = f.default
+        if profile and f.name in PROFILES[profile]:
+            value = PROFILES[profile][f.name]
+        env_val = os.environ.get(f.name.upper())
+        if env_val is not None:
+            value = type(f.default)(env_val)
+        cli_val = getattr(args, f.name)
+        if cli_val is not None:
+            value = cli_val
+        setattr(cfg, f.name, value)
+    cfg.profile = profile
     return cfg

@@ -129,6 +129,30 @@ def test_uncovered_rows_fall_back_exact(rng):
                                   np.asarray(ref[:min(B, 8)]))
 
 
+def _on_tpu():
+    return any(d.platform in ("tpu", "axon") for d in jax.devices())
+
+
+@pytest.mark.skipif("not _on_tpu()")
+def test_penalty_tail_compiled_on_tpu(rng):
+    """ADVICE r3: interpret=True cannot catch Mosaic TPU-lowering failures
+    (the round-3 transposed-candidate bug broke bench.py while every
+    interpret test stayed green). Run the REAL compiled kernel at a
+    representative serving shape and pin it to the XLA oracle."""
+    B, Vfull = 384, 65536
+    args = _tail_inputs(rng, B, Vfull)
+    occ2, pres2, cval, cidx, lse = penalty_tail(*args, interpret=False)
+    occ2r, pres2r, cvalr, cidxr, lser = penalty_tail_reference(*args)
+    np.testing.assert_allclose(np.asarray(occ2), np.asarray(occ2r),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pres2), np.asarray(pres2r))
+    np.testing.assert_allclose(np.asarray(cval), np.asarray(cvalr),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(cidx), np.asarray(cidxr))
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lser),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_serving_path_matches_unfused_greedy(rng):
     """End-to-end: a ServingModel with the fused tail produces the SAME
     greedy tokens and (after draining the deferred record) the SAME penalty
