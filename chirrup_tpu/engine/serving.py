@@ -321,6 +321,7 @@ class ServingModel:
             self._fwd_step_sharded = None
             self._fwd_chunk_sharded = None
             self._stop_votes_sharding = None
+            self._gather_logits_sharded = None
         else:
             # Explicit-SPMD serving step: the WHOLE forward runs inside ONE
             # shard_map over the tp axis — Megatron column-parallel R/K/V/FFN-K
@@ -497,6 +498,32 @@ class ServingModel:
                 in_specs=(st_shift, st_wkv, vec, pool_sh, pool_wk, pool_el)
                 + row_specs,
                 out_specs=(st_shift, st_wkv, vec))
+
+            # marked-slot logits gather (return_logits inside K-step blocks):
+            # idx values are LOCAL row offsets per dp shard, M rows per shard
+            def gather_logits_local(lg, idx):
+                return jnp.take(lg, idx, axis=0)
+
+            self._gather_logits_sharded = smap(
+                gather_logits_local,
+                in_specs=(P(bax, "tp"), P(bax)),
+                out_specs=P(bax, "tp"))
+
+            # forbidden-bias install: overwrite ONE slot's presence/forbidden
+            # row per dp shard with a host-built (V,) bias — lifts the
+            # LOCKSTEP_MAX_FORBIDDEN id cap (the bias payload rides the same
+            # vote-coordinated admission round as resume-from-state)
+            def forbid_local(pres, idx, mask, bias):
+                i = idx[0]
+                Vl = pres.shape[1]
+                old = jax.lax.dynamic_slice(pres, (i, 0), (1, Vl))
+                new = jnp.where(mask[0], bias.astype(pres.dtype), old)
+                return jax.lax.dynamic_update_slice(pres, new, (i, 0))
+
+            self._set_forbidden_sharded = smap(
+                forbid_local,
+                in_specs=(P(bax, "tp"), P(bax), P(bax), P(bax, "tp")),
+                out_specs=P(bax, "tp"))
             # shutdown votes MUST be dp-sharded: each host's array holds only
             # its own rows' votes; if GSPMD treated the host-local np input as
             # replicated, hosts would observe DIVERGENT "replicated" sums (the
@@ -539,6 +566,8 @@ class ServingModel:
                 self._pool_store_lockstep_impl, donate_argnums=(1,))
             self._pool_load_lockstep = jax.jit(
                 self._pool_load_lockstep_impl, donate_argnums=(0,))
+            self._set_forbidden_jit = jax.jit(
+                self._set_forbidden_lockstep_impl, donate_argnums=(0,))
 
     def _apply_op_settings(self):
         """Re-apply this model's trace-time op settings (mm8 core + pallas
@@ -658,7 +687,8 @@ class ServingModel:
         return carry, sampled, raw_logits
 
     def _decode_block_impl(self, params, carry: BatchCarry, host_tokens,
-                           feedback_mask, active_mask, decode_mask, stop_votes):
+                           feedback_mask, active_mask, decode_mask, stop_votes,
+                           logit_rows=None):
         """K decode steps in ONE dispatch (lax.scan over the single-step body).
 
         All per-step inputs are (K, B): host tokens for prefill feeds, masks for
@@ -672,23 +702,41 @@ class ServingModel:
         signals (cross-dp reductions, so every host observes the same counts
         at the same block index). Column 0 = shutdown votes (a host silently
         stopping would wedge the others inside the next block's dp
-        collective); column 1 = pending lockstep cache-resume flags (all
-        hosts schedule the fixed resume-insert program on the next loop when
-        the sum is nonzero). Meshless/zero votes cost nothing.
+        collective); column 1 = pending lockstep complex-admission flags
+        (resume-from-state or over-cap forbidden sets: all hosts schedule the
+        fixed admission-round programs on the next loop when the sum is
+        nonzero). Meshless/zero votes cost nothing.
 
-        Returns (carry, sampled (K, B) int32, vote_counts (NV,) int32). Raw logits
-        are not returned (a (K, B, V) buffer is prohibitive); workers needing
-        return_logits use single steps.
+        logit_rows: optional (n_dp * LOCKSTEP_LOGIT_SLOTS,) int32 of LOCAL
+        slot-row offsets per dp shard — per-step raw logits of these MARKED
+        rows are gathered and returned, so return_logits works inside K-step
+        blocks (a full (K, B, V) buffer would be prohibitive; M marked rows
+        cost K*M*V f32 ≈ 16 MB at serving shape). None skips the gather and
+        the fourth output (bench/profile callers keep the 3-tuple).
+
+        Returns (carry, sampled (K, B) int32, vote_counts (NV,) int32
+        [, marked_logits (K, n_dp*M, V) f32]).
         """
 
         def step(c, inp):
             toks, fb, act, dec = inp
-            c, sampled, _ = self._decode_step_impl(params, c, toks, fb, act, dec)
-            return c, sampled
+            c, sampled, raw = self._decode_step_impl(params, c, toks, fb, act,
+                                                     dec)
+            if logit_rows is None:
+                return c, sampled
+            if self._gather_logits_sharded is not None:
+                lg = self._gather_logits_sharded(raw, logit_rows)
+            else:
+                lg = jnp.take(raw, logit_rows, axis=0)
+            return c, (sampled, lg)
 
-        carry, sampled = jax.lax.scan(
+        carry, out = jax.lax.scan(
             step, carry, (host_tokens, feedback_mask, active_mask, decode_mask))
-        return carry, sampled, jnp.sum(stop_votes, axis=0)
+        votes = jnp.sum(stop_votes, axis=0)
+        if logit_rows is None:
+            return carry, out, votes
+        sampled, marked = out
+        return carry, sampled, votes, marked
 
     def _prefill_step_impl(self, params, carry: BatchCarry, tokens, lengths):
         """Advance prefilling slots by up to `prefill_chunk` tokens each.
@@ -778,6 +826,11 @@ class ServingModel:
         )
 
     LOCKSTEP_MAX_FORBIDDEN = 8
+    # marked return_logits rows per dp shard inside decode blocks (the
+    # per-block logits gather; see _decode_block_impl). More concurrent
+    # return_logits slots than marks fall back to single steps (non-lockstep)
+    # or wait host-locally for a free mark (lockstep).
+    LOCKSTEP_LOGIT_SLOTS = 4
 
     def _insert_slots_batched_impl(self, carry: BatchCarry, mask, temperature,
                                    top_p, top_k, frequency_penalty,
@@ -869,11 +922,13 @@ class ServingModel:
                                  jnp.asarray(decode_mask))
 
     def decode_block(self, carry, tokens, feedback_mask, active_mask,
-                     decode_mask, stop_votes=None):
+                     decode_mask, stop_votes=None, logit_rows=None):
         """K steps per dispatch; (K, B) args. Returns (carry, sampled (K, B),
         vote_counts (2,)) — per-column cross-host vote sums ([shutdown,
-        resume-pending]; zeros when stop_votes is omitted). A 1-D (B,) votes
-        array is accepted as shutdown-only.
+        complex-admission-pending]; zeros when stop_votes is omitted). A 1-D
+        (B,) votes array is accepted as shutdown-only. With logit_rows (the
+        worker always passes it; see _decode_block_impl) a fourth output
+        carries the marked rows' per-step raw logits.
 
         Host-arg caching: each upload is its own RPC to the device runtime —
         through the axon tunnel that is ~4-6 extra round trips per block,
@@ -892,8 +947,10 @@ class ServingModel:
         host_args = (np.asarray(tokens), np.asarray(feedback_mask),
                      np.asarray(active_mask), np.asarray(decode_mask),
                      stop_votes)
+        if logit_rows is not None:
+            host_args += (np.asarray(logit_rows, np.int32),)
         cache = getattr(self, "_block_arg_cache", None)
-        if cache is not None and all(
+        if cache is not None and len(cache[0]) == len(host_args) and all(
                 a.shape == b.shape and a.dtype == b.dtype
                 and np.array_equal(a, b)
                 for a, b in zip(host_args, cache[0])):
@@ -909,6 +966,10 @@ class ServingModel:
             else:
                 votes = jnp.asarray(stop_votes)
             dev_args = tuple(jnp.asarray(a) for a in host_args[:4]) + (votes,)
+            if logit_rows is not None:
+                lr = host_args[5]
+                dev_args += ((self._place_rows("idx", lr)
+                              if self.mesh is not None else jnp.asarray(lr)),)
             self._block_arg_cache = (tuple(a.copy() for a in host_args),
                                      dev_args)
         return self._decode_block(self.params, carry, *dev_args)
@@ -1203,6 +1264,37 @@ class ServingModel:
             self._place_rows("mask", np.asarray(mask, bool)),
             self._place_rows("shift", shift), self._place_rows("wkv", wkv),
             self._place_rows("elapsed", el))
+
+    def _set_forbidden_lockstep_impl(self, carry: BatchCarry, rows, mask,
+                                     bias):
+        pres = self._set_forbidden_sharded(carry.presence_vec, rows, mask,
+                                           bias)
+        return dataclasses.replace(carry, presence_vec=pres)
+
+    def set_forbidden_lockstep(self, carry, local_rows, mask,
+                               bias_row) -> BatchCarry:
+        """FIXED-shape lockstep forbidden-set install: overwrite ONE slot's
+        presence/forbidden bias row per dp shard (masked) with a host-built
+        (V,) bias (forbidden_bias_row — no id-count cap). Runs on every
+        vote-coordinated admission round on every host (hosts without a
+        payload pass an all-False mask), lifting LOCKSTEP_MAX_FORBIDDEN for
+        lockstep admissions. The admitted slot's batched insert in the same
+        loop installs the capped bias first; this replaces it with the exact
+        one before the slot's first decode dispatch (the reference accepts
+        arbitrary forbidden sets everywhere, chirrup/worker.py:719-722)."""
+        self._apply_op_settings()
+        n_dp = self.lockstep_n_dp
+        V = self.config.vocab_size
+        dp_row = 0 if self.mesh is None else min(jax.process_index(),
+                                                 n_dp - 1)
+        bias = np.zeros((n_dp, V), np.float32)
+        if bias_row is not None:
+            bias[dp_row] = bias_row
+        return self._set_forbidden_jit(
+            carry,
+            self._place_rows("idx", np.asarray(local_rows, np.int32)),
+            self._place_rows("mask", np.asarray(mask, bool)),
+            self._place_rows("bias", bias))
 
     def extract_slot_async(self, carry, slot: int):
         """Dispatch the slot extraction and START the D2H copies without

@@ -70,6 +70,8 @@ class _PendingStep:
     decode_slots: List[Tuple[int, str]]  # (slot index, task_id at dispatch)
     block: int = 1       # number of steps this dispatch covered
     stop_count: Any = None  # () i32 cross-host shutdown-vote sum (blocks only)
+    marked_logits: Any = None  # (K, n_dp*M, V) per-step logits of MARKED rows
+    marks: Optional[Dict[int, int]] = None  # slot idx -> global mark row
 
 
 class Worker:
@@ -111,9 +113,13 @@ class Worker:
         # processes without any cross-host plan exchange. The per-host
         # prefix cache works through FIXED programs too: snapshots ride a
         # per-loop masked pool-store, resumes ride vote-coordinated rounds
-        # (votes cross dp inside the decode block). Not supported:
-        # return_logits (per-step global-array fetch) and forbidden sets
-        # beyond the capped id buffer. See docs/ARCHITECTURE.md §multi-host.
+        # (votes cross dp inside the decode block). return_logits rides the
+        # decode block's marked-row logits gather (up to LOCKSTEP_LOGIT_SLOTS
+        # concurrent per host; extras wait host-locally for a free mark), and
+        # over-cap forbidden sets ride a fixed (V,) bias program on the same
+        # vote-coordinated rounds as resume — full surface parity with the
+        # reference (chirrup/worker.py:714-722).
+        # See docs/ARCHITECTURE.md §multi-host.
         self.lockstep = lockstep
         self.slot_range = slot_range or (0, batch_size)
 
@@ -139,11 +145,19 @@ class Worker:
         # non-lockstep pool snapshots queued for one batched store per phase
         self._snapshot_batch: List[Tuple[int, int]] = []
         # lockstep prefix-cache machinery: slots awaiting their turn on the
-        # per-loop fixed extract program, resume tasks awaiting the
-        # vote-coordinated fixed resume-insert round
+        # per-loop fixed extract program, and COMPLEX admissions (resume-from-
+        # state and/or over-cap forbidden sets) awaiting the vote-coordinated
+        # fixed admission round
         self._lockstep_snapshot_queue: List[int] = []
-        self._resume_pending: List[Task] = []
-        self._resume_go = False
+        self._complex_pending: List[Task] = []
+        self._complex_go = False
+        # return_logits marks: slot idx -> mark row of the decode block's
+        # per-step logits gather (LOCKSTEP_LOGIT_SLOTS rows per host)
+        self._logit_marks: Dict[int, int] = {}
+        self._free_marks: List[int] = list(
+            range(ServingModel.LOCKSTEP_LOGIT_SLOTS))
+        # lockstep return_logits tasks waiting host-locally for a free mark
+        self._deferred_tasks: List[Task] = []
 
     # ------------------------------------------------------------------ setup
 
@@ -213,7 +227,10 @@ class Worker:
         fK = np.zeros((K, B), bool)
         t0 = time.time()
         if K > 1 or self.lockstep:
-            self.carry, _, _ = m.decode_block(self.carry, zK, fK, fK, fK)
+            lr = np.zeros((m.lockstep_n_dp * m.LOCKSTEP_LOGIT_SLOTS,),
+                          np.int32)
+            self.carry, _, _, _ = m.decode_block(self.carry, zK, fK, fK, fK,
+                                                 None, lr)
         if not self.lockstep:
             self.carry, _, _ = m.decode_step(
                 self.carry, np.zeros((B,), np.int32), np.zeros((B,), bool),
@@ -233,6 +250,18 @@ class Worker:
             self.state_pool = m.pool_store_many(self.carry, self.state_pool,
                                                 [(0, 0)])
             self.carry = m.pool_load(self.carry, self.state_pool, 0, 0)
+        if self.lockstep:
+            # the vote-coordinated admission-round programs (masked no-ops)
+            n_dp = m.lockstep_n_dp
+            zrows = np.zeros((n_dp,), np.int32)
+            zmask = np.zeros((n_dp,), bool)
+            self.carry = m.resume_insert_lockstep(self.carry, zrows, zmask,
+                                                  None)
+            self.carry = m.set_forbidden_lockstep(self.carry, zrows, zmask,
+                                                  None)
+            if self.state_pool is not None:
+                self.carry = m.pool_load_lockstep(
+                    self.carry, self.state_pool, zrows, zrows, zmask)
         import jax as _jax
         _jax.block_until_ready(self.carry.state.elapsed)
         print(f"[{self.worker_id}] serving programs warmed in "
@@ -284,6 +313,7 @@ class Worker:
         task = slot.task
         task.output_queue.put_nowait(("task_completed", task))
         self.slots[idx] = SlotData()
+        self._release_mark(idx)
 
     def _snapshot_slot(self, idx: int):
         """Prefix-cache snapshot. Preferred path: copy the slot's state into
@@ -445,12 +475,16 @@ class Worker:
 
         Lockstep mode: only slots in self.slot_range are this host's; the
         batched program is ALWAYS called (even with an empty mask) so every
-        host runs the same launch sequence, and complex tasks are rejected."""
+        host runs the same launch sequence. Complex tasks (resume-from-state,
+        over-cap forbidden sets) ride the vote-coordinated admission rounds;
+        return_logits tasks need a free logits mark (deferred host-locally
+        until one frees)."""
         lo, hi = self.slot_range
         batch_mask = np.zeros((self.batch_size,), bool)
         batch_tasks: List[Optional[Task]] = [None] * self.batch_size
         complex_inserts: List[int] = []
         pool_loads: List[Tuple[int, PoolHandle]] = []
+        deferred_now: List[Task] = []
         prefill_count = sum(1 for s in self.slots if s.phase == SlotPhase.SEQ_PREFILL)
         for idx in range(lo, hi):
             slot = self.slots[idx]
@@ -458,10 +492,13 @@ class Worker:
                 break
             if slot.phase != SlotPhase.EMPTY:
                 continue
-            try:
-                task: Task = self.task_queue.get_nowait()
-            except queue.Empty:
-                break
+            if self._deferred_tasks:
+                task = self._deferred_tasks.pop(0)
+            else:
+                try:
+                    task = self.task_queue.get_nowait()
+                except queue.Empty:
+                    break
             prefill_count += 1
 
             pool_resume = (isinstance(task.state, PoolHandle)
@@ -480,23 +517,19 @@ class Worker:
             simple = ((task.state is None or pool_resume)
                       and len(list(task.forbidden_tokens))
                       <= ServingModel.LOCKSTEP_MAX_FORBIDDEN)
-            if self.lockstep and (
-                    task.return_logits
-                    or len(list(task.forbidden_tokens))
-                    > ServingModel.LOCKSTEP_MAX_FORBIDDEN):
-                # lockstep cannot return per-step logits (global-array fetch)
-                # or honor more than LOCKSTEP_MAX_FORBIDDEN forbidden ids
-                # (the per-loop admission program carries a capped id buffer;
-                # silently truncating would violate the unbounded contract)
-                # — fail loudly
-                task.request_status = RequestStatus.FINISHED_ABORTED
-                task.output_queue.put_nowait(("task_completed", task))
+            if self.lockstep and task.return_logits and not self._free_marks:
+                # all LOCKSTEP_LOGIT_SLOTS marked rows are in use: wait
+                # host-locally for a finishing return_logits slot to free one
+                # (no vote needed — admission counts are host-local anyway)
+                deferred_now.append(task)
+                prefill_count -= 1
                 continue
-            if self.lockstep and task.state is not None:
-                # resume-from-state rides the vote-coordinated FIXED resume
-                # program (see the resume round below): stash host-locally,
-                # vote on the next block, insert when every host agrees
-                self._resume_pending.append(task)
+            if self.lockstep and (task.state is not None or not simple):
+                # complex admission (resume-from-state and/or an over-cap
+                # forbidden set) rides the vote-coordinated FIXED admission
+                # round: stash host-locally, vote on the next block, admit
+                # when every host runs the round's fixed programs together
+                self._complex_pending.append(task)
                 continue
 
             try:
@@ -535,23 +568,27 @@ class Worker:
             self.slots[idx] = SlotData(
                 task=task, phase=phase, next_input=next_input,
                 decoder=StreamingDecoder(self.tokenizer))
-        resume_idx = resume_task = None
-        round_due = self.lockstep and self._resume_go
+            self._maybe_assign_mark(idx, task)
+        if deferred_now:
+            # retried next loop (front of the line, before the shared queue)
+            self._deferred_tasks = deferred_now + self._deferred_tasks
+        round_idx = round_task = None
+        round_due = self.lockstep and self._complex_go
         if round_due:
-            # vote-coordinated resume round: every host runs the SAME fixed
+            # vote-coordinated admission round: every host runs the SAME fixed
             # program sequence this loop; hosts without work pass empty masks
-            self._resume_go = False
-            resume_idx, resume_task = self._pick_lockstep_resume(batch_mask)
-            if resume_task is not None:
-                batch_mask[resume_idx] = True
-                batch_tasks[resume_idx] = resume_task
+            self._complex_go = False
+            round_idx, round_task = self._pick_lockstep_complex(batch_mask)
+            if round_task is not None:
+                batch_mask[round_idx] = True
+                batch_tasks[round_idx] = round_task
 
         if self.lockstep:
             # ALWAYS issued (fixed sequence); also zeroes freed slots' state
             self.carry = self.model.insert_slots_batched(
                 self.carry, batch_mask, batch_tasks)
             if round_due:
-                self._run_lockstep_resume_programs(resume_idx, resume_task)
+                self._run_lockstep_round_programs(round_idx, round_task)
         elif batch_mask.any():
             self.carry = self.model.insert_slots_batched(
                 self.carry, batch_mask, batch_tasks)
@@ -562,27 +599,43 @@ class Worker:
                                               handle.row, idx)
             handle.release()
 
-    def _pick_lockstep_resume(self, batch_mask):
-        """Pick the next resumable pending task + an empty slot and do its
-        admission bookkeeping (the batched insert sets its params; the fixed
-        resume program then overwrites its state)."""
+    def _maybe_assign_mark(self, idx: int, task: Task):
+        """Give a return_logits slot a marked row of the decode block's
+        per-step logits gather. Lockstep admission guarantees a free mark
+        exists; non-lockstep slots without one fall back to K=1 single steps
+        (_choose_block_size)."""
+        if task.return_logits and self._free_marks:
+            self._logit_marks[idx] = self._free_marks.pop(0)
+
+    def _release_mark(self, idx: int):
+        mark = self._logit_marks.pop(idx, None)
+        if mark is not None:
+            self._free_marks.append(mark)
+
+    def _pick_lockstep_complex(self, batch_mask):
+        """Pick the next pending complex task (resume-from-state or over-cap
+        forbidden set) + an empty slot and do its admission bookkeeping (the
+        batched insert sets its params; the round's fixed programs then
+        overwrite its state / forbidden bias)."""
         lo, hi = self.slot_range
-        while self._resume_pending:
-            t = self._resume_pending[0]
+        while self._complex_pending:
+            t = self._complex_pending[0]
             if self._is_aborted(t) or t.is_finished():
-                self._resume_pending.pop(0)
+                self._complex_pending.pop(0)
                 t.request_status = RequestStatus.FINISHED_ABORTED
                 t.output_queue.put_nowait(("task_completed", t))
                 continue
             break
-        if not self._resume_pending:
+        if not self._complex_pending:
             return None, None
+        if self._complex_pending[0].return_logits and not self._free_marks:
+            return None, None  # stays pending; the vote fires again
         idx = next((i for i in range(lo, hi)
                     if self.slots[i].phase == SlotPhase.EMPTY
                     and not batch_mask[i]), None)
         if idx is None:
             return None, None  # stays pending; the vote fires again
-        task = self._resume_pending.pop(0)
+        task = self._complex_pending.pop(0)
         try:
             task.request_status = RequestStatus.RUNNING
             next_input = task.prefill_tokens.pop(0)
@@ -600,25 +653,38 @@ class Worker:
         self.slots[idx] = SlotData(
             task=task, phase=phase, next_input=next_input,
             decoder=StreamingDecoder(self.tokenizer))
+        self._maybe_assign_mark(idx, task)
         return idx, task
 
-    def _run_lockstep_resume_programs(self, resume_idx, resume_task):
-        """The FIXED resume programs of one round: the pool-load (when the
-        pool exists) and the host-payload insert — both masked, both run by
-        every host so launch sequences stay identical."""
+    def _run_lockstep_round_programs(self, round_idx, round_task):
+        """The FIXED programs of one admission round: the pool-load (when the
+        pool exists), the host-payload state insert, and the forbidden-bias
+        install — all masked, all run by every host so launch sequences stay
+        identical. The bias program replaces the admitted slot's capped
+        presence/forbidden row with the exact host-built (V,) bias, lifting
+        LOCKSTEP_MAX_FORBIDDEN (reference parity: chirrup/worker.py:719-722)."""
+        from chirrup_tpu.engine.serving import forbidden_bias_row
+
         lo, _ = self.slot_range
         n_dp = self.model.lockstep_n_dp
         dp_row = min(jax.process_index(), n_dp - 1)
         rows = np.zeros((n_dp,), np.int32)
         mask_pool = np.zeros((n_dp,), bool)
         mask_host = np.zeros((n_dp,), bool)
-        state = resume_task.state if resume_task is not None else None
-        if resume_task is not None:
-            rows[dp_row] = resume_idx - lo
+        mask_forb = np.zeros((n_dp,), bool)
+        bias_row = None
+        state = round_task.state if round_task is not None else None
+        if round_task is not None:
+            rows[dp_row] = round_idx - lo
             if isinstance(state, PoolHandle):
                 mask_pool[dp_row] = True
-            else:
+            elif state is not None:
                 mask_host[dp_row] = True
+            # the exact bias replaces the batched insert's capped row (a
+            # no-forbidden task writes an all-zero bias — same result)
+            mask_forb[dp_row] = True
+            bias_row = forbidden_bias_row(round_task.forbidden_tokens,
+                                          self.model.config.vocab_size)
         if self.state_pool is not None:
             prow = np.zeros((n_dp,), np.int32)
             if mask_pool[dp_row]:
@@ -628,7 +694,9 @@ class Worker:
         self.carry = self.model.resume_insert_lockstep(
             self.carry, rows, mask_host,
             state if mask_host[dp_row] else None)
-        if resume_task is not None and isinstance(state, PoolHandle):
+        self.carry = self.model.set_forbidden_lockstep(
+            self.carry, rows, mask_forb, bias_row)
+        if round_task is not None and isinstance(state, PoolHandle):
             state.release()
 
     # ----------------------------------------------------------- transitions
@@ -660,8 +728,11 @@ class Worker:
 
     def _choose_block_size(self) -> int:
         """K steps per dispatch, restricted to {1, K} so only two programs ever
-        compile. Falls to 1 only when a slot needs per-step host data
-        (return_logits). Cache-snapshot boundaries do NOT demote the block:
+        compile. Falls to 1 only when a slot needs per-step host data —
+        a return_logits slot WITHOUT a marked logits row (more concurrent
+        return_logits requests than LOCKSTEP_LOGIT_SLOTS, e.g. a full-batch
+        MMLU run; marked slots get per-step logits from the block's gather).
+        Cache-snapshot boundaries do NOT demote the block:
         the planner pauses just that slot at its boundary via the per-step
         masks (one slot idles a few steps; the other B-1 keep K-step blocks —
         demoting the whole batch to K=1 measured 12x slower through the
@@ -671,10 +742,10 @@ class Worker:
             return max(K, 1)  # FIXED size: hosts must agree without talking
         if K <= 1:
             return 1
-        for slot in self.slots:
+        for idx, slot in enumerate(self.slots):
             if slot.phase not in (SlotPhase.DECODE, SlotPhase.ONE_PREFILL):
                 continue
-            if slot.task.return_logits:
+            if slot.task.return_logits and idx not in self._logit_marks:
                 return 1
         return K
 
@@ -732,10 +803,23 @@ class Worker:
         lo, hi = self.slot_range
         if self._stop_vote:
             votes[lo:hi, 0] = 1
-        if self._resume_pending:
+        if self._complex_pending:
             votes[lo:hi, 1] = 1
-        self.carry, sampled, stop_count = self.model.decode_block(
-            self.carry, tokens, feedback, active, decode, votes)
+        # marked return_logits rows: this host's mark rows carry LOCAL slot
+        # offsets; the block gathers their per-step raw logits
+        M = ServingModel.LOCKSTEP_LOGIT_SLOTS
+        n_dp = self.model.lockstep_n_dp
+        dp_row = min(jax.process_index(), n_dp - 1)
+        logit_rows = np.zeros((n_dp * M,), np.int32)
+        marks_now: Dict[int, int] = {}
+        for idx, m in self._logit_marks.items():
+            slot = self.slots[idx]
+            if slot.task is not None and slot.task.return_logits:
+                logit_rows[dp_row * M + m] = idx - lo
+                marks_now[idx] = dp_row * M + m
+        self.carry, sampled, stop_count, marked_logits = \
+            self.model.decode_block(self.carry, tokens, feedback, active,
+                                    decode, votes, logit_rows)
 
         # snapshot boundaries align with block ends by construction
         for idx, slot in enumerate(self.slots):
@@ -746,7 +830,9 @@ class Worker:
 
         self._pending = _PendingStep(sampled=sampled, raw_logits=None,
                                      decode_slots=decode_slots, block=K,
-                                     stop_count=stop_count)
+                                     stop_count=stop_count,
+                                     marked_logits=marked_logits,
+                                     marks=marks_now)
         return n_active, n_decode
 
     def _dispatch_decode_step(self):
@@ -810,15 +896,32 @@ class Worker:
             if counts[0] > 0:
                 self.shutdown_flag = True
             if counts.size > 1 and counts[1] > 0:
-                self._resume_go = True  # all hosts run a resume round next loop
+                # all hosts run a complex-admission round next loop
+                self._complex_go = True
         sampled_np = self._fetch_sampled(pending.sampled)
         if sampled_np.ndim == 1:
             sampled_np = sampled_np[None, :]
+        marked_np = None
+        if pending.marks and pending.marked_logits is not None:
+            ml = pending.marked_logits
+            if getattr(ml, "is_fully_addressable", True):
+                # one fetch for all marked rows (K, n_dp*M, V)
+                marked_np = np.asarray(jax.device_get(ml))
         for idx, task_id in pending.decode_slots:
             slot = self.slots[idx]
             task = slot.task
             if task is None or task.task_id != task_id or task.is_finished():
                 continue  # slot was reset/aborted while the step was in flight
+            block_logits = None
+            if task.return_logits and pending.marks \
+                    and idx in pending.marks:
+                row = pending.marks[idx]
+                if marked_np is not None:
+                    block_logits = marked_np[:, row]        # (K, V)
+                else:
+                    # multi-process: assemble this host's row from its shards
+                    from chirrup_tpu.engine.serving import _host_row
+                    block_logits = _host_row(pending.marked_logits, 1, row)
             emitted: List[Tuple[int, str]] = []
             for k in range(sampled_np.shape[0]):
                 new_token = int(sampled_np[k, idx])
@@ -830,7 +933,12 @@ class Worker:
                 new_text = slot.decoder.push(new_token)
                 task.generated_tokens.append(new_token)
                 task.decoded_texts.append(new_text)
-                if task.return_logits and pending.raw_logits is not None:
+                if task.return_logits and block_logits is not None:
+                    task.output_queue.put_nowait(
+                        ("token_generated",
+                         (new_token, new_text,
+                          np.asarray(block_logits[k], np.float32))))
+                elif task.return_logits and pending.raw_logits is not None:
                     logits_row = np.asarray(
                         jax.device_get(pending.raw_logits[idx]), np.float32)
                     task.output_queue.put_nowait(
@@ -1089,6 +1197,14 @@ class Worker:
         self._cleanup()
 
     def _abort_all_tasks(self, exc: Exception):
+        for task in self._complex_pending + self._deferred_tasks:
+            task.request_status = RequestStatus.FINISHED_ABORTED
+            try:
+                task.output_queue.put_nowait(("task_completed", task))
+            except Exception:  # noqa: BLE001
+                pass
+        self._complex_pending = []
+        self._deferred_tasks = []
         for idx, slot in enumerate(self.slots):
             if slot.task is not None:
                 slot.task.request_status = RequestStatus.FINISHED_ABORTED
@@ -1097,6 +1213,7 @@ class Worker:
                 except Exception:
                     pass
                 self.slots[idx] = SlotData()
+            self._release_mark(idx)
         self._pending = None
         self._pending_snapshots = []
 

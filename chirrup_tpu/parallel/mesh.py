@@ -152,6 +152,7 @@ def lockstep_row_shardings(mesh: Mesh, batch_sharded: bool = False):
         "shift": _ns(mesh, b, None, None, None),   # (n_dp, L, 2, C)
         "wkv": _ns(mesh, b, None, None, "tp"),     # (n_dp, L, N, HN)
         "elapsed": _ns(mesh, b),
+        "bias": _ns(mesh, b, "tp"),                # (n_dp, V) forbidden bias
     }
 
 

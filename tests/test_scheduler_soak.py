@@ -104,8 +104,10 @@ def test_lockstep_scheduler_soak(vocab_path):
     """Lockstep-mode churn (VERDICT r2: 'lockstep is the least-tested mode
     with the most moving parts'): randomized prompts/params, mid-flight
     aborts, cache_prefill snapshots through the fixed per-loop pool program,
-    and pool resumes through vote rounds — every request terminates, slots
-    drain, and the unsupported-feature rejections fail loudly (not hang)."""
+    pool resumes through vote rounds, over-cap forbidden sets through the
+    fixed bias program, and return_logits through the decode block's marked
+    rows (VERDICT r3 item 5: full surface parity, no rejection branches) —
+    every request terminates and slots drain."""
     rng = random.Random(20260819)
     loop = asyncio.new_event_loop()
     engine = AsyncEngineCore()
@@ -131,6 +133,9 @@ def test_lockstep_scheduler_soak(vocab_path):
         max_tokens = rng.randint(1, 10)
         abort_after = rng.choice([None, None, None, 1, 2])
         want_cache = rng.random() < 0.4
+        # over-cap sets (> LOCKSTEP_MAX_FORBIDDEN=8 ids) ride the fixed
+        # bias program on vote-coordinated rounds
+        forbidden = rng.choice([(), (7, 8, 9), tuple(range(10, 60))])
         kwargs = {}
         if reuse_state is not None:
             ids = engine.tokenizer.encode(prompt)
@@ -142,7 +147,7 @@ def test_lockstep_scheduler_soak(vocab_path):
             top_p=rng.choice([0.2, 0.8]),
             max_tokens=max_tokens,
             stop_tokens=[0],
-            forbidden_tokens=rng.choice([(), (7, 8, 9)]),
+            forbidden_tokens=forbidden,
             presence_penalty=rng.choice([0.0, 0.4]),
             frequency_penalty=0.0,
             cache_prefill=want_cache,
@@ -159,6 +164,7 @@ def test_lockstep_scheduler_soak(vocab_path):
                     completion.abort()
         assert completion.task.is_finished(), i
         assert len(toks) <= max_tokens
+        assert not set(toks) & set(forbidden), (i, toks)
         return len(toks)
 
     async def go():
@@ -171,13 +177,29 @@ def test_lockstep_scheduler_soak(vocab_path):
                     h.acquire()  # mimic the app holding a ref per resume
                 jobs.append(one(99, reuse_state=h))
             counts += await asyncio.gather(*jobs)
-        # a rejected-feature task fails loudly (completion event, no hang)
-        bad = engine.completion("hello", return_logits=True, max_tokens=2,
-                                stop_tokens=[0])
-        got = []
-        async for event in bad:
-            got.append(event)
-        assert bad.task.is_finished()
+        # return_logits inside the FIXED decode blocks (marked-row gather):
+        # per-token logits arrive, the argmax of the greedy request's logits
+        # equals the next emitted token, and a wave of them (more than
+        # LOCKSTEP_LOGIT_SLOTS) drains through mark recycling
+        async def with_logits(j):
+            c = engine.completion(f"logit probe {j}", return_logits=True,
+                                  temperature=0.0, max_tokens=3,
+                                  stop_tokens=[], presence_penalty=0.0,
+                                  frequency_penalty=0.0)
+            evs = [e for e in [e async for e in c] if e[0] == "token"]
+            assert evs, j
+            for e in evs:
+                assert len(e) == 4, e  # ("token", id, text, logits)
+                assert e[3].shape[-1] == 320
+            # greedy: sampled token == argmax of its own pre-penalty logits
+            # (penalties are 0 here, so pre-penalty == post-penalty)
+            import numpy as _np
+            for e in evs:
+                assert int(_np.argmax(e[3])) == e[1], (j, e[1])
+            return len(evs)
+
+        n_logits = await asyncio.gather(*[with_logits(j) for j in range(7)])
+        assert all(n >= 1 for n in n_logits)
         return counts
 
     try:
@@ -189,12 +211,15 @@ def test_lockstep_scheduler_soak(vocab_path):
         for _ in range(200):
             if (all(s.phase == SlotPhase.EMPTY for s in w.slots)
                     and engine.task_queue.empty()
-                    and not w._resume_pending):
+                    and not w._complex_pending and not w._deferred_tasks):
                 break
             _time.sleep(0.05)
         assert all(s.phase == SlotPhase.EMPTY for s in w.slots)
-        assert not w._resume_pending
+        assert not w._complex_pending and not w._deferred_tasks
         assert engine.task_queue.empty()
+        # every logits mark was recycled
+        assert not w._logit_marks
+        assert sorted(w._free_marks) == list(range(len(w._free_marks)))
     finally:
         engine.shutdown()
         engine.join(timeout=15)
