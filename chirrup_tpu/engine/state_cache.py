@@ -54,6 +54,12 @@ class PrefixStateCache:
         self.root = _TrieNode()
         self._lru: "OrderedDict[Tuple[int, ...], RequestState]" = OrderedDict()
         self.prefill_lock = asyncio.Lock()
+        # lookup accounting (served via /metrics): hits = lookups that found
+        # a usable cached prefix; tokens_saved = prompt tokens those lookups
+        # did not have to prefill
+        self.hits = 0
+        self.misses = 0
+        self.tokens_saved = 0
 
     # ------------------------------------------------------------------ stats
 
@@ -62,6 +68,11 @@ class PrefixStateCache:
 
     def total_bytes(self) -> int:
         return sum(s.nbytes() for s in self._lru.values())
+
+    def stats(self) -> Dict[str, int]:
+        return {"entries": len(self._lru), "bytes": self.total_bytes(),
+                "hits": self.hits, "misses": self.misses,
+                "tokens_saved": self.tokens_saved}
 
     # ------------------------------------------------------------------ check
 
@@ -87,8 +98,11 @@ class PrefixStateCache:
             best = 0
             state = None
             remaining = tokens
+            self.misses += 1
         else:
             remaining = tokens[best:]
+            self.hits += 1
+            self.tokens_saved += best
         if return_trie_node:
             return remaining, state, best, node
         return remaining, state, best

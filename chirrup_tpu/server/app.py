@@ -114,8 +114,7 @@ async def handle_metrics(request: web.Request) -> web.Response:
     cache = app.get("state_cache")
     body = {
         "workers": dict(app.get("worker_perf", {})),
-        "state_cache": None if cache is None else {
-            "entries": len(cache), "bytes": cache.total_bytes()},
+        "state_cache": None if cache is None else cache.stats(),
         "timestamp": time.time(),
     }
     return web.json_response(body)
