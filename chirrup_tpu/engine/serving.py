@@ -218,6 +218,64 @@ def _place_tree_global(tree, shardings):
     return jax.tree_util.tree_map(put, tree, shardings)
 
 
+def _permute_nh_layout(params, tp: int = 1):
+    """Permute the v-path / output-path head channels into the WKV kernel's
+    i-major ("nh") order: local channel c = h*64 + j moves to c' = j*Hl + h
+    (per tp shard of Hl heads), so the (B, N, H) transposes around the T=1
+    and T>1 Pallas kernels become FREE reshapes — the two transpose copies
+    measured 0.71 + 0.60 ms/step at 7.2B B=384 (xplane profile).
+
+    Permuted: the merged Wrkv's V-projection columns (+ its per-column
+    scales), Wo's rows (+ per-row scales), the packed lora2's v-gate and
+    gate column slices, and v0 — everything that produces or consumes a
+    v/y/g-ordered channel. r/k/a/w and all norms stay standard order.
+
+    EXACT, not approximate: the int8 GEMM accumulates in integers (order-
+    independent), and every per-row/per-column quantization scale travels
+    with its row/column, so dequantized elements are bit-identical; only
+    f32 correction-sum orders change (~1e-7 rel)."""
+    att = dict(params["blocks"]["att"])
+    mrkv = att.get("Wrkv")
+    wo = att.get("Wo")
+    assert isinstance(mrkv, mm8.Mm8MultiWeight) and "lora1" in att, \
+        "nh layout needs the merged+packed serving param layout"
+    C = wo.q.shape[1]
+    N = 64
+    C_loc = C // tp
+    Hl = C_loc // N
+    cp = np.arange(C_loc)
+    g_loc = (cp % Hl) * N + cp // Hl          # new[c'] = old[g_loc[c']]
+    gC = jnp.asarray(np.concatenate(
+        [s * C_loc + g_loc for s in range(tp)]), jnp.int32)
+    # merged columns are [R_s | K_s | V_s] per tp shard; permute each V block
+    g3 = np.arange(3 * C)
+    for s in range(tp):
+        base = s * 3 * C_loc + 2 * C_loc
+        g3[base:base + C_loc] = base + g_loc
+    g3 = jnp.asarray(g3, jnp.int32)
+
+    att["Wrkv"] = mm8.Mm8MultiWeight(
+        q=jnp.take(mrkv.q, g3, axis=2),
+        mx=jnp.take(mrkv.mx, g3, axis=1),
+        rx=jnp.take(mrkv.rx, g3, axis=1),
+        my=mrkv.my, ry=mrkv.ry)
+    att["Wo"] = mm8.Mm8Weight(
+        q=jnp.take(wo.q, gC, axis=1),
+        mx=wo.mx, rx=wo.rx,
+        my=jnp.take(wo.my, gC, axis=1),
+        ry=jnp.take(wo.ry, gC, axis=1))
+    l2 = att["lora2"]
+    l2 = l2.at[:, 2].set(jnp.take(l2[:, 2], gC, axis=2))   # v-gate
+    l2 = l2.at[:, 3].set(jnp.take(l2[:, 3], gC, axis=2))   # gate g
+    att["lora2"] = l2
+    att["v0"] = jnp.take(att["v0"], gC, axis=1)
+    blocks = dict(params["blocks"])
+    blocks["att"] = att
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
 def _cast_params(params, dtype):
     """Cast dense float weights to the activation dtype. Mm8Weight subtrees pass
     through untouched (int8 codes + f32 scales)."""
@@ -283,16 +341,25 @@ class ServingModel:
             # codes — a full HBM copy per layer per step
             params = _merge_att_rkv(params, tp=tp)
         params = _pack_att_lora(params)
+        # i-major v/y channel order on the Pallas serving path: the WKV
+        # kernel's (B, N, H) transposes become free reshapes (the weights
+        # speak the kernel's layout — see _permute_nh_layout)
+        self._nh_layout = bool(runtime.use_pallas_wkv
+                               and "Wrkv" in params["blocks"]["att"])
+        if self._nh_layout:
+            params = _permute_nh_layout(params, tp=tp)
         self.params = _cast_params(params, runtime.activation_dtype)
 
         if runtime.use_pallas_wkv:
+            nh = self._nh_layout
+
             def raw_wkv(s, r, w, k, v, a, b, e, lengths, layer):
                 # s is the stacked (L, B, N, HN) state; the kernel advances only
                 # layer's slab in place (prefetched index, zero slicing copies)
                 return wkv7_pallas.wkv7_pallas_batch(
                     s, r, w, k, v, a, b, e, lengths=lengths, layer=layer,
                     use_dither=runtime.use_dither, interpret=interpret_pallas,
-                    precision=runtime.wkv_precision)
+                    precision=runtime.wkv_precision, v_nh_layout=nh)
 
             # decode (T=1) runs the TMix-fused kernel: kk/k~ prologue and
             # GroupNorm+bonus epilogue inside the pallas call (_tmix
@@ -365,14 +432,16 @@ class ServingModel:
                 state = RWKVState(shift=shift, wkv=wkv, elapsed=elapsed)
                 logits, ns = model.forward_step(
                     p, tokens, state, active=active, wkv_fn=raw_wkv,
-                    compute_dtype=compute_dtype, reduce_fn=psum_tp)
+                    compute_dtype=compute_dtype, reduce_fn=psum_tp,
+                    nh_layout=self._nh_layout)
                 return logits, ns.shift, ns.wkv, ns.elapsed
 
             def chunk_local(p, tokens, shift, wkv, elapsed, lengths):
                 state = RWKVState(shift=shift, wkv=wkv, elapsed=elapsed)
                 ns = model.forward_chunk(
                     p, tokens, state, lengths, wkv_fn=raw_wkv,
-                    compute_dtype=compute_dtype, reduce_fn=psum_tp)
+                    compute_dtype=compute_dtype, reduce_fn=psum_tp,
+                    nh_layout=self._nh_layout)
                 return ns.shift, ns.wkv, ns.elapsed
 
             self._fwd_step_sharded = smap(
@@ -629,7 +698,9 @@ class ServingModel:
         else:
             logits, new_state = model.forward_step(
                 params, tokens, carry.state, active=active_mask,
-                wkv_fn=self._wkv_fn, compute_dtype=self.runtime.activation_dtype)
+                wkv_fn=self._wkv_fn,
+                compute_dtype=self.runtime.activation_dtype,
+                nh_layout=self._nh_layout)
         raw_logits = logits  # pre-penalty (reference worker.py:714-716)
 
         if self._fused_tail:
@@ -752,7 +823,8 @@ class ServingModel:
         else:
             new_state = model.forward_chunk(
                 params, tokens, carry.state, lengths, wkv_fn=self._wkv_fn,
-                compute_dtype=self.runtime.activation_dtype)
+                compute_dtype=self.runtime.activation_dtype,
+                nh_layout=self._nh_layout)
         return dataclasses.replace(carry, state=new_state)
 
     def _prefill_compact_impl(self, params, carry: BatchCarry, tokens,
@@ -779,7 +851,8 @@ class ServingModel:
                 params, tokens, RWKVState(shift=shift_c, wkv=wkv_c,
                                           elapsed=el_c),
                 lengths, wkv_fn=self._wkv_fn,
-                compute_dtype=self.runtime.activation_dtype)
+                compute_dtype=self.runtime.activation_dtype,
+                nh_layout=self._nh_layout)
             n_shift, n_wkv, n_el = ns.shift, ns.wkv, ns.elapsed
         new_state = RWKVState(
             shift=st.shift.at[:, :, slot_idx].set(

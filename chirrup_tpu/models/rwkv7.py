@@ -75,6 +75,19 @@ def group_norm(x, num_groups, w, b, eps):
     return out.astype(x.dtype)
 
 
+def group_norm_nh(y4, w_nh, b_nh, eps):
+    """Per-head GroupNorm on i-major ("nh") layout: y4 (B, T, N, H) where
+    channel (h, j) lives at [..., j, h]. Each head's 64 values are the same
+    set as the standard layout's — only strided — so stats over the N axis
+    reproduce group_norm exactly. w_nh/b_nh: (N, H) kernel-layout params."""
+    xf = y4.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-2, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-2, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xn * w_nh.astype(jnp.float32)
+            + b_nh.astype(jnp.float32)).astype(y4.dtype)
+
+
 def _l2_normalize_heads(x, H, N):
     """Per-head L2 normalize with torch.nn.functional.normalize semantics
     (x / max(||x||, 1e-12))."""
@@ -99,7 +112,7 @@ def _masked_last(x, lengths, prev):
 # blocks
 
 def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
-          lengths, wkv_fn, reduce_fn=None):
+          lengths, wkv_fn, reduce_fn=None, nh_layout=False):
     """Time-mix. Reference: RWKV_x070_TMix_seq_batch (Albatross/rwkv7.py:619-649).
 
     wkv_full is the STACKED (L, B, N, H*N) recurrent state; wkv_fn advances only
@@ -111,7 +124,12 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
     while every per-head tensor (k, v, y, kk, ...) is the chip's local shard.
     Per-head dims are therefore derived from the per-head tensors themselves
     (never from x), and `reduce_fn` (psum over the tp axis) is applied to the
-    row-parallel output projection. Meshless: reduce_fn=None, local == global."""
+    row-parallel output projection. Meshless: reduce_fn=None, local == global.
+
+    nh_layout (serving Pallas path): v / v-gate / gate / Wo-rows live in the
+    WKV kernel's i-major channel order (j*Hl+h; the weights were permuted at
+    load — serving._permute_nh_layout), so the (B, N, H) transposes around
+    the kernel become free reshapes. r/k/a/w stay standard order."""
     B, T, C = x.shape
     N = HEAD_SIZE
     reduce_fn = reduce_fn or (lambda y: y)
@@ -175,13 +193,19 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
         if lnw_nh is None:
             lnw_nh = att["ln_x_w"].reshape(Hl, N).swapaxes(0, 1)
             lnb_nh = att["ln_x_b"].reshape(Hl, N).swapaxes(0, 1)
-        v_nh = v.reshape(B, Hl, N).transpose(0, 2, 1)
+        if nh_layout:
+            v_nh = v.reshape(B, N, Hl)      # free: channels already i-major
+        else:
+            v_nh = v.reshape(B, Hl, N).transpose(0, 2, 1)
         ln = jnp.ones((B,), jnp.int32) if lengths is None else lengths
         y_nh, wkv_full_new = fused_step(
             wkv_full, r[:, 0], w_raw[:, 0], k[:, 0], a[:, 0], v_nh,
             att["k_k"].reshape(-1), att["k_a"].reshape(-1),
             att["r_k"].reshape(-1), lnw_nh, lnb_nh, elapsed, ln, li)
-        y = y_nh.transpose(0, 2, 1).reshape(B, 1, Hl * N).astype(x.dtype)
+        if nh_layout:
+            y = y_nh.reshape(B, 1, Hl * N).astype(x.dtype)
+        else:
+            y = y_nh.transpose(0, 2, 1).reshape(B, 1, Hl * N).astype(x.dtype)
         # gate rides the mm8 kernel's quantization prologue (one fewer (B, C)
         # XLA pass; legal under tp — g and y are both head-local, and the
         # multiply precedes the row-parallel Wo)
@@ -198,9 +222,20 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
                              lengths, li)
     y = y.astype(x.dtype)
 
-    y = group_norm(y, Hl, att["ln_x_w"], att["ln_x_b"], eps=64e-5)
-    bonus = (r * k * att["r_k"].reshape(-1)).reshape(B, T, Hl, N).sum(-1, keepdims=True)
-    y = y + (bonus * v.reshape(B, T, Hl, N)).reshape(B, T, Hl * N)
+    if nh_layout:
+        # y/v are i-major (the kernel's native order, no back-transpose):
+        # GroupNorm stats over the N axis, bonus via the same-layout v
+        y4 = group_norm_nh(y.reshape(B, T, N, Hl), att["ln_x_w_nh"],
+                           att["ln_x_b_nh"], eps=64e-5)
+        bonus = (r * k * att["r_k"].reshape(-1)) \
+            .reshape(B, T, Hl, N).sum(-1)                     # (B, T, Hl)
+        y4 = y4 + bonus[:, :, None, :] * v.reshape(B, T, N, Hl)
+        y = y4.reshape(B, T, Hl * N)
+    else:
+        y = group_norm(y, Hl, att["ln_x_w"], att["ln_x_b"], eps=64e-5)
+        bonus = (r * k * att["r_k"].reshape(-1)) \
+            .reshape(B, T, Hl, N).sum(-1, keepdims=True)
+        y = y + (bonus * v.reshape(B, T, Hl, N)).reshape(B, T, Hl * N)
     out = reduce_fn(matmul(y, att["Wo"], mul_in=g))
 
     new_shift = _masked_last(x, lengths, shift_prev)
@@ -216,7 +251,11 @@ def _cmix(ffn, x, shift_prev, lengths, reduce_fn=None):
     kx = x + xx * ffn["x_k"]
     if isinstance(ffn["Wk"], (mm8.Mm8Weight, mm8.LayerIndexed)) \
             and isinstance(ffn["Wv"], (mm8.Mm8Weight, mm8.LayerIndexed)):
-        # whole FFN in one fused kernel where supported (relu² + both GEMMs)
+        # whole FFN in one fused kernel where supported (relu² + both GEMMs).
+        # NOTE (round 4): fusing the kx token-shift mix into the kernel's
+        # quant prologue was measured +1.27 ms/step at B=384 — the in-kernel
+        # mix SERIALIZES in front of the weight pipeline, while this separate
+        # XLA pass overlaps the previous kernel's MXU work. Keep it in XLA.
         out = mm8.mm8_ffn_matmul(kx, ffn["Wk"], ffn["Wv"])
     else:
         kk = matmul(kx, ffn["Wk"], activation="relu2")
@@ -225,7 +264,8 @@ def _cmix(ffn, x, shift_prev, lengths, reduce_fn=None):
     return reduce_fn(out), new_shift
 
 
-def _backbone(params, x, state: RWKVState, lengths, wkv_fn, reduce_fn=None):
+def _backbone(params, x, state: RWKVState, lengths, wkv_fn, reduce_fn=None,
+              nh_layout=False):
     """Run all layers with the recurrent state updated IN PLACE.
 
     A lax.scan with the state as xs/ys would allocate a fresh stacked ys buffer
@@ -253,7 +293,7 @@ def _backbone(params, x, state: RWKVState, lengths, wkv_fn, reduce_fn=None):
         xn = layer_norm(xc, blk["ln1_w"], blk["ln1_b"])
         att_out, att_shift, v_first, wkv = _tmix(
             blk["att"], li, is_first, xn, shift_l[0], v_first, wkv,
-            state.elapsed, lengths, wkv_fn, reduce_fn)
+            state.elapsed, lengths, wkv_fn, reduce_fn, nh_layout)
         xc = xc + att_out
         xn = layer_norm(xc, blk["ln2_w"], blk["ln2_b"])
         ffn_out, ffn_shift = _cmix(blk["ffn"], xn, shift_l[1], lengths, reduce_fn)
@@ -288,7 +328,8 @@ def _default_wkv_fn(wkv_full, r, w_raw, k, v, a, b, elapsed, lengths, layer):
 
 def forward_chunk(params, tokens, state: RWKVState, lengths=None, *,
                   wkv_fn: Optional[Callable] = None,
-                  compute_dtype=jnp.float32, reduce_fn=None) -> RWKVState:
+                  compute_dtype=jnp.float32, reduce_fn=None,
+                  nh_layout=False) -> RWKVState:
     """Prefill a chunk: advance state over tokens (B, T); no logits computed
     (the head matmul is skipped — the last prompt token always goes through
     forward_step, mirroring the reference's one-prefill phase, worker.py:447-476).
@@ -297,7 +338,7 @@ def forward_chunk(params, tokens, state: RWKVState, lengths=None, *,
     wkv_fn = wkv_fn or _default_wkv_fn
     x = _embed(params, tokens, compute_dtype)
     _, new_shift, new_wkv = _backbone(params, x, state, lengths, wkv_fn,
-                                      reduce_fn)
+                                      reduce_fn, nh_layout)
     T = tokens.shape[1]
     n_tok = jnp.full_like(state.elapsed, T) if lengths is None else lengths
     return RWKVState(shift=new_shift, wkv=new_wkv, elapsed=state.elapsed + n_tok)
@@ -305,20 +346,25 @@ def forward_chunk(params, tokens, state: RWKVState, lengths=None, *,
 
 def forward_step(params, tokens, state: RWKVState, active=None, *,
                  wkv_fn: Optional[Callable] = None, compute_dtype=jnp.float32,
-                 reduce_fn=None):
+                 reduce_fn=None, nh_layout=False):
     """One-token step for the whole batch: tokens (B,) -> logits (B, V) fp32.
 
     active: optional (B,) bool; inactive rows keep their state and yield garbage
     logits (the scheduler masks them). Reference: forward_seq_batch with T=1
-    (worker.py:671-742)."""
+    (worker.py:671-742).
+
+    Logits keep the head matmul's output dtype (bf16 in serving config —
+    the old unconditional astype(f32) added NO precision, the mm8 head
+    kernel had already rounded to bf16, and it cost a full 50+201 MB
+    HBM convert pass per step at 7.2B; consumers promote where needed)."""
     wkv_fn = wkv_fn or _default_wkv_fn
     B = tokens.shape[0]
     lengths = None if active is None else active.astype(jnp.int32)
     x = _embed(params, tokens[:, None], compute_dtype)
     x_out, new_shift, new_wkv = _backbone(params, x, state, lengths, wkv_fn,
-                                          reduce_fn)
+                                          reduce_fn, nh_layout)
     xh = layer_norm(x_out[:, 0], params["ln_out_w"], params["ln_out_b"])
-    logits = matmul(xh, params["head"]).astype(jnp.float32)
+    logits = matmul(xh, params["head"])
     n_tok = jnp.ones_like(state.elapsed) if lengths is None else lengths
     new_state = RWKVState(shift=new_shift, wkv=new_wkv, elapsed=state.elapsed + n_tok)
     return logits, new_state

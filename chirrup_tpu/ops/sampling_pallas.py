@@ -181,7 +181,7 @@ def penalty_tail(logits, occurrence, presence_vec, penalty_decay,
             transcendentals=B * V,
         ),
         interpret=interpret,
-    )(logits.astype(f32), occurrence, presence_vec,
+    )(logits, occurrence, presence_vec,
       penalty_decay.reshape(B, 1).astype(f32),
       frequency_penalty.reshape(B, 1).astype(f32),
       presence_penalty.reshape(B, 1).astype(f32),
@@ -242,8 +242,14 @@ def sample_from_chunks(chunk_val, chunk_idx, lse, temperature, top_p, top_k,
     temperature_eff = jnp.where(zero_temp, 1.0, temperature)
     top_p_eff = jnp.where(zero_temp, 0.0, top_p)
 
-    top_lg, pick = jax.lax.top_k(chunk_val, k_max)      # sort over NC=512
-    top_idx = jnp.take_along_axis(chunk_idx, pick, axis=-1)
+    # variadic sort carries the token ids WITH the values — the former
+    # top_k + take_along_axis gather of (B, k_max) ids was a scalar-ish
+    # 49k-element gather measured at 0.5 ms/step (B=384 xplane profile);
+    # stable ascending sort of -val == top_k's ties-to-lower-index order
+    sorted_neg, sorted_idx = jax.lax.sort(
+        (-chunk_val, chunk_idx), dimension=-1, num_keys=1, is_stable=True)
+    top_lg = -sorted_neg[:, :k_max]
+    top_idx = sorted_idx[:, :k_max]
     top_vals = jnp.exp(top_lg - lse)
     cum = jnp.cumsum(top_vals, axis=-1)
 

@@ -576,14 +576,20 @@ def _wkv7_pallas_call(state, layer, r, w_raw, k, a, b, v2, elapsed, lengths, *,
 
 def wkv7_pallas_batch(state, r, w_raw, k, v, a, b, elapsed, *, lengths=None,
                       layer=None, use_dither=True, interpret=False,
-                      precision="highest"):
+                      precision="highest", v_nh_layout=False):
     """Drop-in replacement for ops.wkv7.wkv7_reference_batch.
 
     state: (B, N, H*N) — or, with `layer` given, the STACKED (L, B, N, H*N)
     buffer of which only layer `layer`'s slab is advanced (zero-copy in-place).
     r..b: (B, T, C=H*N); elapsed: (B,) int32; lengths: optional (B,) int32.
     Returns y (B, T, C) in r.dtype, new_state (same shape as `state`).
-    """
+
+    v_nh_layout: v's channels arrive in the kernel's native i-major order
+    (channel j*H+h instead of h*N+j — the serving path permutes the merged
+    V projection's columns at load) and y is returned in that same order —
+    the wrapper's two (B, T, N, H) transpose copies disappear entirely
+    (measured ~0.7 ms each per step at 7.2B B=384; the caller's Wo rows are
+    permuted to match, see engine/serving._permute_nh_layout)."""
     B, T, C = r.shape
     N = _N
     H = C // N
@@ -595,13 +601,16 @@ def wkv7_pallas_batch(state, r, w_raw, k, v, a, b, elapsed, *, lengths=None,
         state_stacked, li = state, layer
     if T == 1:
         # decode fast path: 2-D lane-layout r/w/k/a/b (no T-dim relayout
-        # copies); v/y transposed to/from (B, N, H) on the host as usual
-        v1 = v.reshape(B, H, N).transpose(0, 2, 1)
+        # copies); v/y transposed to/from (B, N, H) on the host unless the
+        # caller already speaks the kernel's layout (v_nh_layout)
+        v1 = v.reshape(B, N, H) if v_nh_layout \
+            else v.reshape(B, H, N).transpose(0, 2, 1)
         y1, new_state = _wkv7_pallas_call_t1(
             state_stacked, li, r[:, 0], w_raw[:, 0], k[:, 0], a[:, 0], b[:, 0],
             v1, elapsed.astype(jnp.int32), lengths.astype(jnp.int32),
             use_dither=use_dither, interpret=interpret, precision=precision)
-        y = y1.transpose(0, 2, 1).reshape(B, 1, C)
+        y = y1.reshape(B, 1, C) if v_nh_layout \
+            else y1.transpose(0, 2, 1).reshape(B, 1, C)
     else:
         # pad the chunk to a multiple of 8 tokens (the kernel loads token
         # rows in provably-8-aligned groups); pad tokens are masked off by
@@ -611,13 +620,15 @@ def wkv7_pallas_batch(state, r, w_raw, k, v, a, b, elapsed, *, lengths=None,
             pad = ((0, 0), (0, T8 - T), (0, 0))
             r, w_raw, k, a, b, v = (jnp.pad(x, pad)
                                     for x in (r, w_raw, k, a, b, v))
-        # v to "i-on-sublane" layout (B, T, N, H)
-        v2 = v.reshape(B, T8, H, N).transpose(0, 1, 3, 2)
+        # v in "i-on-sublane" layout (B, T, N, H)
+        v2 = v.reshape(B, T8, N, H) if v_nh_layout \
+            else v.reshape(B, T8, H, N).transpose(0, 1, 3, 2)
         y2, new_state = _wkv7_pallas_call(
             state_stacked, li, r, w_raw, k, a, b, v2, elapsed.astype(jnp.int32),
             lengths.astype(jnp.int32), use_dither=use_dither,
             interpret=interpret, precision=precision)
-        y = y2[:, :T].transpose(0, 1, 3, 2).reshape(B, T, C)
+        y = y2[:, :T].reshape(B, T, C) if v_nh_layout \
+            else y2[:, :T].transpose(0, 1, 3, 2).reshape(B, T, C)
     if layer is None:
         new_state = new_state[0]
     return y, new_state

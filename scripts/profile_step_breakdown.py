@@ -115,6 +115,33 @@ def capture(args) -> str:
     model = ServingModel(cfg, params, runtime, batch_size=batch)
     carry = model.init_carry()
 
+    if args.prefill:
+        # one compact-prefill chunk program: (P, T) from the model's variants
+        # (smallest P = the tall-narrow TTFT variant, largest = the wide one)
+        variants = sorted(model.prefill_variants)
+        P, T = variants[0] if args.prefill == "tall" else variants[-1]
+        rng = np.random.default_rng(0)
+        toks = rng.integers(1, 60000, (P, T)).astype(np.int32)
+        lengths = np.full((P,), T, np.int32)
+        slot_idx = np.arange(P, dtype=np.int32)
+
+        def chunk(c):
+            return model.prefill_step_compact(c, toks, lengths, slot_idx)
+
+        for _ in range(2):
+            carry = chunk(carry)
+        jax.block_until_ready(jax.device_get(carry.state.elapsed))
+        n = max(args.steps // T, 1)
+        jax.profiler.start_trace(args.trace_dir)
+        for _ in range(n):
+            carry = chunk(carry)
+        jax.block_until_ready(jax.device_get(carry.state.elapsed))
+        jax.profiler.stop_trace()
+        print(f"# traced {n} chunks of ({P}, {T}) = {n * P * T} tokens -> "
+              f"{args.trace_dir}  (us/step below = per CHUNK / {n})",
+              file=sys.stderr)
+        return n
+
     K = args.block
     tokens = np.random.default_rng(0).integers(1, 60000, (K, batch)).astype(np.int32)
     ones = jnp.asarray(np.ones((K, batch), bool))
@@ -141,6 +168,9 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--block", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--prefill", default="",
+                    help="'tall'|'wide': profile one compact-prefill chunk "
+                         "variant instead of decode blocks (per-CHUNK times)")
     ap.add_argument("--trace_dir", default="/tmp/chirrup_profile")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--parse-only", default="",
