@@ -217,7 +217,9 @@ class AsyncEngineCore:
         pool_n = 0
         if state_pool_size > 0:
             if worker_num == 1:
-                pool_n = state_pool_size + 8
+                # small headroom so snapshot bursts racing LRU releases don't
+                # immediately skip (each row is ~17 MB HBM at 7.2B)
+                pool_n = state_pool_size + 4
             else:
                 print("state pool disabled: worker_num > 1 (host-RAM "
                       "snapshots in effect)")

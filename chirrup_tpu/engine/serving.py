@@ -314,7 +314,11 @@ class ServingModel:
         # ROWS, so when <= 8 prompts are in flight the (8, 4T) program
         # advances each one 4x faster per chunk — the TTFT lever.
         cap = -(-batch_size // 8)               # scheduler's max_prefill_count
-        P = min(batch_size, max(8, -(-cap // 8) * 8))
+        # P caps at 32 rows: the compact path's gather/scatter temps are
+        # (L, P, N, HN) sized (~17 MB/row at 7.2B) and the (48, 64) variant's
+        # ~1.6 GB of HBM temps pushed the B=384 serving config out of memory;
+        # the worker reads prefill_slots back as its concurrent-prefill cap
+        P = min(batch_size, max(8, -(-cap // 8) * 8), 32)
         small = min(8, P)
         self.prefill_slots = P
         self.prefill_variants = sorted(
@@ -838,10 +842,34 @@ class ServingModel:
 
         slot_idx: (P,) int32, UNIQUE slot ids (rows with length 0 must point
         at distinct idle slots — their state passes through bit-unchanged:
-        masked WKV holds S, _masked_last holds shift, elapsed += 0)."""
+        masked WKV holds S, _masked_last holds shift, elapsed += 0).
+
+        The P-row gather/scatter runs as a fori_loop of dynamic slices, NOT
+        jnp.take/.at[].set: XLA lowers a batch-axis gather of the (L, B, N,
+        HN) state into dozens of live (L, B, N, 128) window temporaries —
+        ~6 GB of HBM at B=384 (the compile OOM that blocked the v5e-7b2
+        serving profile) and ~3 GB silently at B=200. The loop's peak extra
+        memory is one (L, 1, N, HN) row (~17 MB at 7.2B); same bytes moved."""
         st = carry.state
-        shift_c = jnp.take(st.shift, slot_idx, axis=2)
-        wkv_c = jnp.take(st.wkv, slot_idx, axis=1)
+        P = slot_idx.shape[0]
+        L, _, B, C = st.shift.shape
+        N, HN = st.wkv.shape[2], st.wkv.shape[3]
+        dsl = jax.lax.dynamic_slice
+        dus = jax.lax.dynamic_update_slice
+
+        def gather_body(i, acc):
+            sh_acc, wk_acc = acc
+            s = slot_idx[i]
+            sh_acc = dus(sh_acc, dsl(st.shift, (0, 0, s, 0), (L, 2, 1, C)),
+                         (0, 0, i, 0))
+            wk_acc = dus(wk_acc, dsl(st.wkv, (0, s, 0, 0), (L, 1, N, HN)),
+                         (0, i, 0, 0))
+            return sh_acc, wk_acc
+
+        shift_c, wkv_c = jax.lax.fori_loop(
+            0, P, gather_body,
+            (jnp.zeros((L, 2, P, C), st.shift.dtype),
+             jnp.zeros((L, P, N, HN), st.wkv.dtype)))
         el_c = jnp.take(st.elapsed, slot_idx, axis=0)
         if self._fwd_chunk_sharded is not None:
             n_shift, n_wkv, n_el = self._fwd_chunk_sharded(
@@ -854,10 +882,22 @@ class ServingModel:
                 compute_dtype=self.runtime.activation_dtype,
                 nh_layout=self._nh_layout)
             n_shift, n_wkv, n_el = ns.shift, ns.wkv, ns.elapsed
+        n_shift = n_shift.astype(st.shift.dtype)
+        n_wkv = n_wkv.astype(st.wkv.dtype)
+
+        def scatter_body(i, acc):
+            sh_full, wk_full = acc
+            s = slot_idx[i]
+            sh_full = dus(sh_full, dsl(n_shift, (0, 0, i, 0), (L, 2, 1, C)),
+                          (0, 0, s, 0))
+            wk_full = dus(wk_full, dsl(n_wkv, (0, i, 0, 0), (L, 1, N, HN)),
+                          (0, s, 0, 0))
+            return sh_full, wk_full
+
+        sh_full, wk_full = jax.lax.fori_loop(
+            0, P, scatter_body, (st.shift, st.wkv))
         new_state = RWKVState(
-            shift=st.shift.at[:, :, slot_idx].set(
-                n_shift.astype(st.shift.dtype)),
-            wkv=st.wkv.at[:, slot_idx].set(n_wkv.astype(st.wkv.dtype)),
+            shift=sh_full, wkv=wk_full,
             elapsed=st.elapsed.at[slot_idx].set(n_el))
         return dataclasses.replace(carry, state=new_state)
 

@@ -193,6 +193,12 @@ class Worker:
     def _init_worker(self):
         self.model, self.tokenizer = self._model_factory()
         self.carry = self.model.init_carry()
+        # concurrent bulk prefills never exceed the compact program's rows
+        # (prefills beyond prefill_slots would fall to the 6.5x-slower
+        # full-B masked chunk)
+        p_slots = getattr(self.model, "prefill_slots", None)
+        if p_slots:
+            self.max_prefill_count = min(self.max_prefill_count, p_slots)
         if self.decode_block_size is None:
             # dispatch latency >> step time on real accelerators behind an RPC
             # tunnel; amortize it with multi-step blocks there, single-step on
@@ -208,11 +214,10 @@ class Worker:
             if self.pool_allocator is None:
                 self.pool_allocator = StatePoolAllocator(self.state_pool_size)
         self._wrap_slow_logging()
-        self._emit_worker_event("worker_loaded", {
-            "status": "success",
-            "worker_id": self.worker_id,
-            "batch_size": self.batch_size,
-        })
+        # the worker_loaded SUCCESS handshake is emitted by start() only
+        # after _warmup_programs: a warmup failure (e.g. an HBM OOM
+        # compiling a serving program) after a success handshake left a
+        # healthy-looking server with a dead worker (observed live)
 
     def _warmup_programs(self):
         """Compile every serving program on no-op inputs before the first
@@ -1148,6 +1153,11 @@ class Worker:
                 self._init_worker()
             if self.warmup_programs:
                 self._warmup_programs()
+            self._emit_worker_event("worker_loaded", {
+                "status": "success",
+                "worker_id": self.worker_id,
+                "batch_size": self.batch_size,
+            })
         except Exception as exc:  # noqa: BLE001
             import traceback
             traceback.print_exc()

@@ -94,11 +94,15 @@ def _select_template(model_name: str):
 
 
 async def handle_health(request: web.Request) -> web.Response:
+    """503 until the engine is live — a probe gating on HTTP status must not
+    route traffic at a worker that failed to load (an aiohttp on_startup
+    exception leaves the socket serving; see on_startup's hard-exit)."""
+    loaded = request.app.get("engine") is not None
     return web.json_response({
-        "status": "healthy",
+        "status": "healthy" if loaded else "loading",
         "timestamp": int(time.time()),
-        "model_loaded": request.app.get("engine") is not None,
-    })
+        "model_loaded": loaded,
+    }, status=200 if loaded else 503)
 
 
 async def handle_models(request: web.Request) -> web.Response:
@@ -514,13 +518,23 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
 
     async def on_startup(app_):
         if app_["engine"] is None:
-            eng = AsyncEngineCore()
-            mc = _model_config_from_server_config(config)
-            await eng.init(worker_num=config.worker_num, model_config=mc,
-                           batch_size=config.batch_size,
-                           model_factory=model_factory,
-                           state_pool_size=config.state_cache_size,
-                           warmup_programs=True)
+            try:
+                eng = AsyncEngineCore()
+                mc = _model_config_from_server_config(config)
+                await eng.init(worker_num=config.worker_num, model_config=mc,
+                               batch_size=config.batch_size,
+                               model_factory=model_factory,
+                               state_pool_size=config.state_cache_size,
+                               warmup_programs=True)
+            except Exception:  # noqa: BLE001 — a server whose model failed
+                # to load must DIE, not keep its socket open: aiohttp keeps
+                # serving after an on_startup exception, and a half-alive
+                # process both lies to probes and squats the port against
+                # restarts (observed with an HBM OOM during program warmup)
+                import traceback
+                traceback.print_exc()
+                print("model load failed — exiting", flush=True)
+                os._exit(1)
             app_["engine"] = eng
         app_["perf_task"] = asyncio.create_task(_perf_collector(app_))
 

@@ -55,7 +55,9 @@ PROFILES = {
     # (~0.85 GB) beside 7.4 GB weights + 6.5 GB request state.
     "v5e-7b2": {
         "batch_size": 384,
-        "state_cache_size": 50,
+        # 16 HBM pool rows (~0.27 GB): B=384 leaves ~1 GB of HBM after
+        # weights + request state; 50 rows fit the B<=256 configs
+        "state_cache_size": 16,
         "quantization": "int8",
         "wkv_state_dtype": "bfloat16",
         "activation_dtype": "bfloat16",

@@ -47,10 +47,23 @@ async def wait_health(url, timeout_s):
 
 
 async def one_stream(session, url, args, stats, idx, max_tokens):
+    content = f"Write a story about place number {idx}."
+    if args.prompt_words:
+        # long prompts for cold-burst TTFT measurement; --shared_prompts
+        # makes them identical so the state cache + prefill dedup absorb the
+        # burst (one leader prefills, everyone else resumes from its
+        # snapshot) — the two TTFT regimes the docs must distinguish
+        import random
+        seed = 1234 if args.shared_prompts else idx
+        rng = random.Random(seed)
+        words = ("river stone market lantern harbor story cloud garden "
+                 "mountain song bridge winter").split()
+        filler = " ".join(rng.choice(words) for _ in range(args.prompt_words))
+        tail = "" if args.shared_prompts else f" (case {idx})"
+        content = f"{filler}. Write a story about this place{tail}."
     body = {
         "model": "rwkv-latest:no-thinking",
-        "messages": [{"role": "user",
-                      "content": f"Write a story about place number {idx}."}],
+        "messages": [{"role": "user", "content": content}],
         "stream": True, "max_tokens": max_tokens,
         "temperature": 1.0, "top_p": 0.5, "ignore_eos": True,
     }
@@ -180,6 +193,11 @@ def main():
     ap.add_argument("--no-spawn", action="store_true",
                     help="benchmark an already-running server at --port")
     ap.add_argument("--state_cache_size", type=int, default=50)
+    ap.add_argument("--prompt_words", type=int, default=0,
+                    help="pad prompts to ~this many words (cold-burst TTFT)")
+    ap.add_argument("--shared_prompts", action="store_true",
+                    help="identical prompts (state-cache/dedup regime) "
+                         "instead of per-stream distinct ones")
     args = ap.parse_args()
 
     if args.tiny:
