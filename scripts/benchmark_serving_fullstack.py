@@ -89,6 +89,7 @@ async def one_stream(session, url, args, stats, idx, max_tokens):
                 last = now
                 n += 1
                 stats["tokens"] += 1
+                stats["times"].append(now)
                 if tpot:
                     stats["tpot"][idx] = sum(tpot) / len(tpot)
     except Exception as exc:  # noqa: BLE001
@@ -100,7 +101,8 @@ async def one_stream(session, url, args, stats, idx, max_tokens):
 
 
 async def run_load(url, args):
-    stats = {"tokens": 0, "done": 0, "errors": 0, "tpot": {}, "ttft": []}
+    stats = {"tokens": 0, "done": 0, "errors": 0, "tpot": {}, "ttft": [],
+             "times": []}
     conn = aiohttp.TCPConnector(limit=args.concurrency + 10)
     async with aiohttp.ClientSession(connector=conn) as session:
         # warmup: compiles every serving program — the decode block via a
@@ -166,11 +168,21 @@ async def run_load(url, args):
     total = sum(results)
     tpots = list(stats["tpot"].values())
     ttfts = sorted(stats["ttft"])
+    # steady-state rate: tokens/s over the mid-half of the token stream
+    # (25th..75th percentile timestamps) — excludes the admission ramp and
+    # the drain tail, the window where all streams are decoding together
+    times = sorted(stats["times"])
+    steady = None
+    if len(times) > 100:
+        lo, hi = times[len(times) // 4], times[3 * len(times) // 4]
+        if hi > lo:
+            steady = round((len(times) // 2) / (hi - lo), 1)
     out = {
         "metric": "full-stack serving decode tok/s (HTTP/SSE, synthetic "
                   f"{args.model_size}, batch {args.batch}, "
                   f"{args.concurrency} streams)",
         "aggregate_tok_s": round(total / dt, 1),
+        "steady_tok_s": steady,
         "tok_s_per_request": round(total / dt / args.concurrency, 2),
         "mean_tpot_ms": round(1000 * sum(tpots) / max(len(tpots), 1), 1),
         "ttft_p50_s": round(ttfts[len(ttfts) // 2], 2) if ttfts else None,

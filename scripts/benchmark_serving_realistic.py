@@ -12,11 +12,14 @@ TPS under sustained concurrency,
 /root/reference/scripts/test_api_streaming_concurrent.py:38-75).
 
 Load model per phase (one phase per --load multiplier):
-  - arrivals: Poisson with rate lam = load * capacity_est / mean_gen,
-    where capacity_est (tok/s) comes from --capacity (default: the measured
-    decode headline);
-  - 30% of requests draw one of --n_prefixes shared prompt prefixes
-    (~--prefix_tokens words) + a unique suffix; the rest are unique;
+  - arrivals: Poisson with rate lam = load * capacity / (prompt_est +
+    gen_median), where --capacity is the server's TOTAL (prefill + decode)
+    token throughput under mixed load (default: the measured ~5k tok/s at
+    7.2B) — a request consumes its prompt tokens AND its generated tokens;
+  - 30% of requests repeat one of --n_prefixes SHARED full prompts
+    (identical text -> the state cache + prefill dedup absorb their
+    prefills, like repeated system prompts / retried requests); the rest
+    are unique;
   - generation lengths ~ lognormal (median --gen_median, clipped to
     [8, --gen_cap]) via max_tokens, stop tokens active (finite generations).
 
@@ -78,6 +81,9 @@ async def fetch_cache_stats(session, url):
 
 
 async def one_request(session, url, prompt, max_tokens, events, t_arrive):
+    """Streams one completion; events get ("ttft",...) / ("tok",...) and a
+    per-request mean TPOT at completion (coalesced SSE frames make raw
+    inter-token gaps bimodal-at-zero, so percentiles are over requests)."""
     body = {
         "model": "rwkv-latest:no-thinking",
         "messages": [{"role": "user", "content": prompt}],
@@ -87,6 +93,7 @@ async def one_request(session, url, prompt, max_tokens, events, t_arrive):
     }
     last = None
     n = 0
+    gaps = []
     try:
         async with session.post(f"{url}/v1/chat/completions", json=body,
                                 timeout=aiohttp.ClientTimeout(
@@ -102,12 +109,14 @@ async def one_request(session, url, prompt, max_tokens, events, t_arrive):
                 if last is None:
                     events.append(("ttft", now, now - t_arrive))
                 else:
-                    events.append(("tpot", now, now - last))
+                    gaps.append(now - last)
                 events.append(("tok", now, 1))
                 last = now
                 n += 1
     except Exception as exc:  # noqa: BLE001
         events.append(("err", time.time(), str(exc)))
+    if gaps:
+        events.append(("tpot", time.time(), sum(gaps) / len(gaps)))
     events.append(("done", time.time(), n))
     return n
 
@@ -121,10 +130,12 @@ def percentile(xs, p):
 
 async def run_phase(url, args, load, rng):
     """One open-loop phase at `load` x estimated capacity."""
-    lam = load * args.capacity / args.gen_median   # requests/s
+    # a request costs prompt + generation tokens; words -> tokens ~ 1.3x
+    prompt_est = 1.3 * (args.prefix_tokens + args.suffix_tokens)
+    lam = load * args.capacity / (prompt_est + args.gen_median)  # req/s
     duration = args.duration
-    prefixes = [make_prompt(rng, args.prefix_tokens)
-                for _ in range(args.n_prefixes)]
+    shared_pool = [make_prompt(rng, args.prefix_tokens + args.suffix_tokens)
+                   for _ in range(args.n_prefixes)]
     events = []
     tasks = []
     conn = aiohttp.TCPConnector(limit=args.max_inflight + 10)
@@ -139,8 +150,10 @@ async def run_phase(url, args, load, rng):
                 events.append(("dropped", time.time(), 1))
                 continue
             if rng.random() < args.shared_frac:
-                prompt = (rng.choice(prefixes) + " "
-                          + make_prompt(rng, args.suffix_tokens))
+                # identical full prompt from the shared pool: trie-cached
+                # prefixes only match prompts that REPEAT (the cache keys on
+                # full prompts minus padding, reference semantics)
+                prompt = rng.choice(shared_pool)
             else:
                 prompt = make_prompt(rng,
                                      args.prefix_tokens + args.suffix_tokens)
@@ -197,8 +210,9 @@ async def run_all(url, args):
                           time.time())
         print("# warmup done", flush=True)
     for load in args.loads:
-        print(f"# phase: load={load} x capacity "
-              f"({args.capacity} tok/s / gen {args.gen_median})", flush=True)
+        print(f"# phase: load={load} x capacity ({args.capacity} total "
+              f"tok/s, ~{args.prefix_tokens + args.suffix_tokens} prompt "
+              f"words + {args.gen_median} gen)", flush=True)
         res = await run_phase(url, args, load, rng)
         print(json.dumps(res), flush=True)
         out.append(res)
@@ -211,8 +225,8 @@ def main():
     ap.add_argument("--loads", default="0.5,0.8,1.2",
                     help="comma list of load multipliers vs capacity")
     ap.add_argument("--capacity", type=float, default=0.0,
-                    help="estimated decode capacity tok/s (default: 7800 TPU"
-                         " / 60 tiny)")
+                    help="total (prefill+decode) token throughput under "
+                         "mixed load (default: 5000 TPU / 60 tiny)")
     ap.add_argument("--duration", type=float, default=120.0,
                     help="seconds per phase")
     ap.add_argument("--gen_median", type=float, default=128.0)
@@ -241,7 +255,7 @@ def main():
     else:
         model_size, health_timeout = "32,4096", 900
         args.batch = args.batch or 384
-        args.capacity = args.capacity or 7800.0
+        args.capacity = args.capacity or 5000.0
         args.max_inflight = args.max_inflight or 4 * args.batch
     url = f"http://127.0.0.1:{args.port}"
 
