@@ -130,12 +130,18 @@ class PrefixStateCache:
         async with self.prefill_lock:
             remaining, state, cached_len, node = self.check(tokens,
                                                             return_trie_node=True)
-            if cached_len + cache_prefill_padding == len(tokens):
-                return ret((remaining, state, cached_len))  # nothing to prefill
+            # the snapshot a leader will produce ends max(padding, 1) tokens
+            # before the prompt end (padding 0 still leaves the final token
+            # as the first decode input — worker pad() clamps to 0), so both
+            # the claim node and the follower lookup must use THIS boundary;
+            # claiming the full-depth node for padding 0 meant the cache
+            # event (which wakes the snapshot-key node) never woke followers
+            eff = len(tokens) - max(cache_prefill_padding, 1)
+            if cached_len >= eff:
+                return ret((remaining, state, cached_len))  # nothing to lead
 
             # claim (or find) the node at the cacheable boundary
-            boundary = tokens[cached_len:len(tokens) - cache_prefill_padding] \
-                if cache_prefill_padding > 0 else tokens[cached_len:]
+            boundary = tokens[cached_len:eff]
             for token in boundary:
                 child = node.children.get(token)
                 if child is None:
@@ -156,13 +162,23 @@ class PrefixStateCache:
         # follower: wait for the leader's snapshot
         async with node.prefill_condition:
             await node.prefill_condition.wait()
-        if node.has_state:
-            key = tuple(tokens[:len(tokens) - cache_prefill_padding]) \
-                if cache_prefill_padding > 0 else tuple(tokens)
-            cached = self._lru_get(key)
-            if cached is not None:
-                return ret((tokens[len(tokens) - cache_prefill_padding:],
-                            cached, len(tokens) - cache_prefill_padding))
+        # the leader's snapshot key is its prompt MINUS max(padding, 1)
+        # tokens: the worker snapshots with `padding` tokens un-prefilled,
+        # except padding 0 where the boundary lands with the final token
+        # still pending as the first decode input (worker pad() clamps to 0).
+        # The old `tuple(tokens)` lookup for padding 0 missed the leader's
+        # tokens[:-1] entry EVERY time — under load (repeats arriving while
+        # the leader is in flight) the dedup silently degraded to full
+        # re-prefills and a measured 0% hit rate.
+        eff = len(tokens) - max(cache_prefill_padding, 1)
+        cached = self._lru_get(tuple(tokens[:eff])) if eff > 0 else None
+        if cached is not None:
+            # check() counted this lookup as a MISS before the wait; a
+            # successful follower resume IS a cache hit
+            self.misses -= 1
+            self.hits += 1
+            self.tokens_saved += eff
+            return ret((tokens[eff:], cached, eff))
         return ret((remaining, state, cached_len))  # leader failed; we prefill
 
     async def release_claim(self, claim) -> bool:

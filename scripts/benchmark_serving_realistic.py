@@ -27,6 +27,13 @@ Reported per phase: sustained aggregate tok/s (measured over the steady
 window after ramp), TPOT p50/p99, TTFT p50/p99, completion counts, and the
 server's state-cache hit rate from /metrics.
 
+NOTE: the client counts SSE CONTENT FRAMES; the server's think-tag parser
+merges each decode block's token texts into state runs, so frame counts
+underestimate decode tokens by ~10-20% under load (finite stop-token
+generations make the exact ratio unknowable client-side — treat
+sustained_tok_s as a lower bound; benchmark_serving_fullstack.py corrects
+for it exactly via ignore_eos).
+
     python scripts/benchmark_serving_realistic.py                 # 7.2B TPU
     python scripts/benchmark_serving_realistic.py --tiny          # CPU smoke
     python scripts/benchmark_serving_realistic.py --loads 0.5,0.8,1.2
@@ -80,16 +87,22 @@ async def fetch_cache_stats(session, url):
         return {}
 
 
-async def one_request(session, url, prompt, max_tokens, events, t_arrive):
+async def one_request(session, url, prompt, max_tokens, events, t_arrive,
+                      cache_prefill=False):
     """Streams one completion; events get ("ttft",...) / ("tok",...) and a
     per-request mean TPOT at completion (coalesced SSE frames make raw
-    inter-token gaps bimodal-at-zero, so percentiles are over requests)."""
+    inter-token gaps bimodal-at-zero, so percentiles are over requests).
+
+    cache_prefill is set only for SHARED-pool prompts: one-shot prompts
+    snapshotting themselves would churn the small HBM pool's LRU and evict
+    the reusable entries (the per-request opt-in mirrors how a client marks
+    reusable system prompts)."""
     body = {
         "model": "rwkv-latest:no-thinking",
         "messages": [{"role": "user", "content": prompt}],
         "stream": True, "max_tokens": max_tokens,
         "temperature": 1.0, "top_p": 0.5,
-        "cache_prefill": True,
+        "cache_prefill": cache_prefill,
     }
     last = None
     n = 0
@@ -149,7 +162,8 @@ async def run_phase(url, args, load, rng):
             if len([t for t in tasks if not t.done()]) >= args.max_inflight:
                 events.append(("dropped", time.time(), 1))
                 continue
-            if rng.random() < args.shared_frac:
+            shared = rng.random() < args.shared_frac
+            if shared:
                 # identical full prompt from the shared pool: trie-cached
                 # prefixes only match prompts that REPEAT (the cache keys on
                 # full prompts minus padding, reference semantics)
@@ -161,7 +175,8 @@ async def run_phase(url, args, load, rng):
                 __import__("math").log(args.gen_median), 0.6), 8),
                 args.gen_cap))
             tasks.append(asyncio.create_task(one_request(
-                session, url, prompt, gen, events, time.time())))
+                session, url, prompt, gen, events, time.time(),
+                cache_prefill=shared)))
             i += 1
         # drain
         if tasks:

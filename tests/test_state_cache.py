@@ -113,6 +113,48 @@ def test_prefill_dedup():
     asyncio.run(asyncio.wait_for(go(), timeout=20))
 
 
+def test_prefill_dedup_padding_zero():
+    """Regression (found live at B=384 under Poisson load): with
+    cache_prefill_padding == 0 the worker's snapshot key is tokens[:-1] (the
+    final token stays pending as the first decode input), but the old
+    follower lookup used tuple(tokens) and the old claim sat on the
+    full-depth node — so the cache event never woke followers and every
+    dedup'd repeat re-prefilled from scratch (a measured 0% hit rate while
+    the server was actually deduping). Both must use len - max(pad, 1)."""
+
+    async def go():
+        c = PrefixStateCache(max_size=5)
+        tokens = [1, 2, 3, 4, 5, 6]
+
+        rem, st, n = await c.check_and_wait_prefill(tokens, 0)
+        assert st is None and rem == tokens  # leader
+
+        results = {}
+
+        async def follower():
+            results["f"] = await c.check_and_wait_prefill(list(tokens), 0)
+
+        ftask = asyncio.create_task(follower())
+        await asyncio.sleep(0.05)
+        assert not ftask.done()
+
+        # the leader's snapshot lands at its REAL boundary: tokens[:-1]
+        node = c.cache(tokens[:-1], _state(7), return_trie_node=True)
+        woken = await c.awake_hang_up_prefills(node)
+        assert woken, "cache event must find the claimed node (same depth)"
+        await asyncio.wait_for(ftask, timeout=5)
+
+        rem2, st2, n2 = results["f"]
+        assert rem2 == tokens[-1:] and st2.elapsed == 7 and n2 == 5
+        # follower resume is accounted as a hit, not a miss
+        assert c.hits == 1 and c.misses == 1  # leader missed, follower hit
+        # a request whose prefix is already at the boundary doesn't lead
+        rem3, st3, n3 = await c.check_and_wait_prefill(list(tokens), 0)
+        assert rem3 == tokens[-1:] and st3.elapsed == 7
+
+    asyncio.run(asyncio.wait_for(go(), timeout=20))
+
+
 def test_prefill_full_hit_short_circuits():
     async def go():
         c = PrefixStateCache(max_size=5)
