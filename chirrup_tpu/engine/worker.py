@@ -135,6 +135,7 @@ class Worker:
         self.warmup_programs = warmup_programs
 
         self.shutdown_flag = False
+        self.snapshot_skips = 0   # pool-exhausted snapshot skips (telemetry)
         self._stop_vote = False   # lockstep: voted to shut down, awaiting quorum
         self._seq_countdown = 0
         self._loop_times: deque = deque(maxlen=10)
@@ -335,8 +336,16 @@ class Worker:
                 # pool exhausted (a snapshot burst outran LRU releases): SKIP
                 # the snapshot — the cache is capacity-bounded by the pool
                 # anyway, and falling back to host-RAM extraction here
-                # measured multi-second D2H stalls per snapshot mid-serving
+                # measured multi-second D2H stalls per snapshot mid-serving.
+                # The state-None event tells the app to wake this prompt's
+                # dedup followers NOW (they re-prefill) instead of leaving
+                # them parked on the leader's claim until its generation ends
+                self.snapshot_skips += 1
                 slot.prefill_cached = True
+                slot.task.output_queue.put_nowait(("cache_prefill", {
+                    "state": None,
+                    "prefilled_tokens": tuple(slot.prefilled_tokens),
+                }))
                 return
             # queue for ONE batched pool-store per scheduling phase
             # (per-slot dispatches cost an RPC each; an admission wave
@@ -441,8 +450,15 @@ class Worker:
             row = self.pool_allocator.alloc()
             if row is None:
                 # pool exhausted: skip the snapshot (the request proceeds;
-                # followers re-prefill) but keep the fixed program sequence
-                self.slots[req_idx].prefill_cached = True
+                # the state-None event wakes dedup followers to re-prefill)
+                # but keep the fixed program sequence
+                self.snapshot_skips += 1
+                slot = self.slots[req_idx]
+                slot.prefill_cached = True
+                slot.task.output_queue.put_nowait(("cache_prefill", {
+                    "state": None,
+                    "prefilled_tokens": tuple(slot.prefilled_tokens),
+                }))
                 req_idx = None
         slot_rows = np.zeros((n_dp,), np.int32)
         pool_rows = np.zeros((n_dp,), np.int32)
@@ -1127,6 +1143,7 @@ class Worker:
                 "seq_prefill_count": seq_count,
             },
             "loop_count": self.loop_count,
+            "snapshot_skips": self.snapshot_skips,
             "max_allocated_memory_GB": self._device_memory_gb(),
         })
         return True

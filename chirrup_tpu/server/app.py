@@ -195,6 +195,15 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
 async def _cache_event(state_cache: PrefixStateCache, payload: Dict):
     if state_cache is None:
         return
+    if payload.get("state") is None:
+        # snapshot SKIPPED (HBM pool exhausted): nothing to cache, but wake
+        # the dedup followers NOW so they re-prefill immediately — without
+        # this they wait out the leader's entire generation before learning
+        # there is no snapshot to resume from
+        node = state_cache._find(tuple(payload["prefilled_tokens"]))
+        if node is not None:
+            await state_cache.awake_hang_up_prefills(node)
+        return
     node = state_cache.cache(payload["prefilled_tokens"], payload["state"],
                              return_trie_node=True)
     await state_cache.awake_hang_up_prefills(node)
