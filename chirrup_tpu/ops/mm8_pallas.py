@@ -655,47 +655,52 @@ def mm8_fused_a8_multi_stacked(x, xx, mu, mx, rx, my, ry, q_stacked, layer, *,
         Bt, rows, m_axis = B, False, 0
         grid = (Mtot // bm,)
     elif xq_resident <= _RESIDENT_BUDGET:
-        # pre-quantized variants: mix + quantize in XLA once, keep the n_in
-        # int8 copies resident, stream the merged weights exactly once
+        # pre-quantized variants: mix + quantize in XLA once, keep ONE int8
+        # variant resident at a time, stream the merged weights exactly once.
+        # The variant is a GRID dimension (v, m) — the old 1-D grid indexed
+        # x8_ref[m] on a (n_in, B, K) VMEM ref inside @pl.when branches,
+        # a dynamic leading-dim read that re-materializes the whole (B, K)
+        # slice per weight tile (profiled at 48% of the int8-MXU floor at
+        # 2048 prefill rows); a (1, B, K) BlockSpec keyed on v stays resident
+        # across the variant's tiles with zero in-kernel selection.
         x8s, stats = [], []
         for m in range(n_in):
             x8_m, st_m = _xq_stats(x + xx * mu[m], my[m], ry[m])
             x8s.append(x8_m)
             stats.append(st_m)
         x8 = jnp.stack(x8s)                       # (n_in, B, K)
-        stats = jnp.concatenate(stats, axis=1)    # (B, 4*n_in)
+        stats = jnp.stack(stats, axis=0)          # (n_in, B, 4)
 
         def kernel(li_ref, x8_ref, st_ref, mx_ref, rx_ref, q_ref, o_ref):
-            which = pl.program_id(0) // tiles_per_in
-            for m in range(n_in):
-                @pl.when(which == m)
-                def _run(m=m):
-                    acc = _int8_split_dot(x8_ref[m], q_ref[0], n_k)
-                    y = _dequant_tile(
-                        acc, rx_ref[:].astype(jnp.float32),
-                        mx_ref[:].astype(jnp.float32),
-                        st_ref[:, 4 * m + 0:4 * m + 1],
-                        st_ref[:, 4 * m + 1:4 * m + 2],
-                        st_ref[:, 4 * m + 2:4 * m + 3],
-                        st_ref[:, 4 * m + 3:4 * m + 4])
-                    o_ref[:] = y.astype(o_ref.dtype)
+            acc = _int8_split_dot(x8_ref[0], q_ref[0], n_k)
+            y = _dequant_tile(
+                acc, rx_ref[:].astype(jnp.float32),
+                mx_ref[:].astype(jnp.float32),
+                st_ref[0, :, 0:1], st_ref[0, :, 1:2],
+                st_ref[0, :, 2:3], st_ref[0, :, 3:4])
+            o_ref[:] = y.astype(o_ref.dtype)
 
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(Mtot // bm,),
+                grid=(n_in, tiles_per_in),
                 in_specs=[
-                    pl.BlockSpec((n_in, B, K), lambda m, li: (0, 0, 0)),
-                    pl.BlockSpec((B, 4 * n_in), lambda m, li: (0, 0)),
-                    pl.BlockSpec((1, bm), lambda m, li: (0, m)),
-                    pl.BlockSpec((1, bm), lambda m, li: (0, m)),
-                    pl.BlockSpec((1, K, bm), lambda m, li: (li[0], 0, m)),
+                    pl.BlockSpec((1, B, K), lambda v, m, li: (v, 0, 0)),
+                    pl.BlockSpec((1, B, 4), lambda v, m, li: (v, 0, 0)),
+                    pl.BlockSpec((1, bm),
+                                 lambda v, m, li: (0, v * tiles_per_in + m)),
+                    pl.BlockSpec((1, bm),
+                                 lambda v, m, li: (0, v * tiles_per_in + m)),
+                    pl.BlockSpec((1, K, bm),
+                                 lambda v, m, li:
+                                 (li[0], 0, v * tiles_per_in + m)),
                 ],
-                out_specs=pl.BlockSpec((B, bm), lambda m, li: (0, m))),
+                out_specs=pl.BlockSpec(
+                    (B, bm), lambda v, m, li: (0, v * tiles_per_in + m))),
             out_shape=jax.ShapeDtypeStruct((B, Mtot), x.dtype),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=("arbitrary", "arbitrary"),
                 vmem_limit_bytes=100 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
                 flops=2 * B * K * Mtot,
