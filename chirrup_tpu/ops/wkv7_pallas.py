@@ -232,6 +232,70 @@ def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
     state_out_ref[0] = S_fin.astype(state_out_ref.dtype)
 
 
+def _wkv7_kernel_tblocked(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref,
+                          b_ref, v2_ref, elapsed_ref, length_ref, y2_ref,
+                          state_out_ref, s_scr, *, Tb, n_tb, use_dither,
+                          precision, bf16_state=False):
+    """T-BLOCKED chunk kernel: grid (batch_tiles, T/Tb) with the token-block
+    axis minor; the state tile lives in VMEM SCRATCH across a batch tile's
+    token blocks (loaded at tb==0, stored at tb==n_tb-1 — the out block
+    flushes to HBM only when its index changes, the standard reduction-grid
+    pattern).
+
+    Why: the unblocked kernel double-buffers FULL-T row blocks
+    (Bt, T, HN) x 5, so at chunk shapes only Bt <= 4 rows fit VMEM — the
+    per-token segment dots collapse to (256, 4096)x(4096, 64) and the MXU
+    runs at ~13% occupancy while every token serializes (profiled: 55
+    us/token/layer, 40% of the whole prefill chunk). Blocking T to Tb=8
+    shrinks the row windows 8x, so 4-8x more rows fit per tile and each
+    sequential token's dots are 4-8x wider."""
+    _, Bt, N, HN = state_ref.shape
+    f32 = jnp.float32
+    seg, segT = _seg_matrices(HN, HN // _N)
+    tb = pl.program_id(1)
+
+    elapsed = elapsed_ref[:].reshape(Bt, 1)
+    length = length_ref[:].reshape(Bt, 1)
+
+    @pl.when(tb == 0)
+    def _load():
+        s_scr[:] = state_ref[0] if bf16_state \
+            else state_ref[0].astype(f32)
+
+    S = s_scr[:]
+    t0 = tb * Tb
+    for g in range(Tb // 8):
+        base = g * 8
+        r_g = r_ref[:, pl.ds(base, 8), :].astype(f32)
+        w_g = w_ref[:, pl.ds(base, 8), :].astype(f32)
+        k_g = k_ref[:, pl.ds(base, 8), :].astype(f32)
+        a_g = a_ref[:, pl.ds(base, 8), :].astype(f32)
+        b_g = b_ref[:, pl.ds(base, 8), :].astype(f32)
+        for i in range(8):
+            t = t0 + base + i
+            active = (t < length)[:, :, None]
+            r_row = r_g[:, i:i + 1, :]
+            w_row = w_g[:, i:i + 1, :]
+            k_row = k_g[:, i:i + 1, :]
+            a_row = a_g[:, i:i + 1, :]
+            b_row = b_g[:, i:i + 1, :]
+            v_nh = v2_ref[:, pl.ds(base + i, 1)][:, 0].astype(f32)
+            d1 = 1.0 + _decay_row(w_row, elapsed + t, use_dither)
+            d1 = jnp.where(active, d1, 1.0)
+            k_row = jnp.where(active, k_row, 0.0)
+            b_row = jnp.where(active, b_row, 0.0)
+            S, y, _ = _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh,
+                                    seg, segT, precision,
+                                    bf16_state=bf16_state)
+            y2_ref[:, pl.ds(base + i, 1)] = jnp.where(
+                active, y, 0.0).astype(y2_ref.dtype)[:, None]
+    s_scr[:] = S
+
+    @pl.when(tb == n_tb - 1)
+    def _store():
+        state_out_ref[0] = s_scr[:].astype(state_out_ref.dtype)
+
+
 def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
                     v_ref, elapsed_ref, length_ref, y_ref, state_out_ref, *,
                     use_dither, precision, bf16_state=False):
@@ -505,6 +569,32 @@ def _pick_batch_tile(B: int, T: int, HN: int, *, row_isz: int = 2,
            if T == 1 and B % 8 else ""))
 
 
+def _pick_batch_tile_blocked(B: int, Tb: int, HN: int, *, row_isz: int = 2,
+                             state_isz: int = 2, carry_isz: int = 4) -> int:
+    """Batch tile for the T-BLOCKED chunk kernel: the row windows are only
+    (bt, Tb, HN), so far more rows fit than the unblocked full-T windows —
+    the whole point (wider per-token dots). Footprint: state scratch +
+    double-buffered state io + double-buffered row/v/y blocks."""
+    H = HN // _N
+    H_pad = -(-H // 128) * 128
+
+    def footprint(bt: int) -> int:
+        return (bt * _N * HN * carry_isz
+                + 2 * 2 * bt * _N * HN * state_isz
+                + 2 * 5 * bt * Tb * HN * row_isz
+                + 2 * 2 * bt * Tb * _N * H_pad * row_isz)
+
+    # headroom for the in-kernel f32 transients (S*a / S*d1r copies are
+    # (bt*N, HN) f32 each): bt=16 at 7.2B width measured 104.4M of scoped
+    # VMEM against the 100M limit with an 88M block budget — 60M keeps the
+    # whole stack under the limit
+    budget = 60 * 1024 * 1024
+    for bt in (32, 24, 16, 8):
+        if B % bt == 0 and footprint(bt) <= budget:
+            return bt
+    return 0
+
+
 @functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
                                               "precision"))
 def _wkv7_pallas_call(state, layer, r, w_raw, k, a, b, v2, elapsed, lengths, *,
@@ -523,6 +613,70 @@ def _wkv7_pallas_call(state, layer, r, w_raw, k, a, b, v2, elapsed, lengths, *,
     Bt = _pick_batch_tile(B, T, HN, row_isz=r.dtype.itemsize,
                           state_isz=state.dtype.itemsize,
                           carry_isz=2 if bf16_state else 4)
+    bt_blocked = 0
+    if T > 8:
+        bt_blocked = _pick_batch_tile_blocked(
+            B, 8, HN, row_isz=r.dtype.itemsize,
+            state_isz=state.dtype.itemsize,
+            carry_isz=2 if bf16_state else 4)
+
+    if bt_blocked > Bt:
+        # T-blocked grid: token blocks minor, state carried in VMEM scratch
+        Tb = 8
+        n_tb = T // Tb
+        Btb = bt_blocked
+
+        def bspec_b(*tile):
+            return pl.BlockSpec((Btb,) + tile,
+                                lambda i, tb, li: (i, tb) + (0,) * (len(tile) - 1))
+
+        def bspec_row(*tile):
+            return pl.BlockSpec((Btb,) + tile,
+                                lambda i, tb, li: (i,) + (0,) * len(tile))
+
+        state_spec_b = pl.BlockSpec((1, Btb, N, HN),
+                                    lambda i, tb, li: (li[0], i, 0, 0))
+        kernel_b = functools.partial(
+            _wkv7_kernel_tblocked, Tb=Tb, n_tb=n_tb, use_dither=use_dither,
+            precision=prec, bf16_state=bf16_state)
+        grid_spec_b = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // Btb, n_tb),
+            in_specs=[
+                state_spec_b,
+                bspec_b(Tb, HN), bspec_b(Tb, HN), bspec_b(Tb, HN),
+                bspec_b(Tb, HN), bspec_b(Tb, HN),
+                bspec_b(Tb, N, H),
+                bspec_row(1, 1), bspec_row(1, 1),
+            ],
+            out_specs=[
+                bspec_b(Tb, N, H),
+                state_spec_b,
+            ],
+            scratch_shapes=[pltpu.VMEM(
+                (Btb, N, HN), state.dtype if bf16_state else jnp.float32)],
+        )
+        y2, state_out = pl.pallas_call(
+            kernel_b,
+            grid_spec=grid_spec_b,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, T, N, H), r.dtype),
+                jax.ShapeDtypeStruct(state.shape, state.dtype),
+            ],
+            input_output_aliases={1: 1},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * 2 * B * T * N * HN * H + 4 * B * T * N * HN,
+                bytes_accessed=2 * B * N * HN * state.dtype.itemsize
+                + 6 * B * T * HN * r.dtype.itemsize,
+                transcendentals=B * T * HN,
+            ),
+        )(jnp.asarray(layer, jnp.int32).reshape(1), state, r, w_raw, k, a, b,
+          v2, elapsed[:, None, None], lengths[:, None, None])
+        return y2, state_out
 
     def bspec(*tile):
         return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
