@@ -1115,7 +1115,16 @@ class Worker:
             # honor the reference's decode:prefill TOKEN ratio (one chunk per
             # `ratio` decode tokens, worker.py:846-856): a K-step decode block
             # owes K/ratio chunks, so drain the countdown debt — one chunk per
-            # block would starve prompt ingestion 3x at K=16, ratio=5
+            # block would starve prompt ingestion 3x at K=16, ratio=5.
+            # BURST MODE: when bulk-prefilling prompts outnumber the active
+            # decoders (a cold burst — the batch is mostly empty and queued
+            # prompts are the backlog), halve the ratio so ingestion gets
+            # ~2.5x the chunk budget; the few early streams trade some TPOT
+            # for everyone else's TTFT, and steady-state traffic (decoders
+            # >= prefills) keeps the reference's exact 1:5 policy
+            ratio = self.decode_prefill_ratio
+            if decode_count < n_seq:
+                ratio = max(1, ratio // 2)
             if n_seq == 0:
                 # no prefill work: don't accrue debt that would burst-fire
                 # chunks when a prompt finally arrives
@@ -1123,7 +1132,7 @@ class Worker:
             while self._seq_countdown < 1 and n_seq > 0:
                 fed = self._run_prefill_step()
                 seq_count += fed
-                self._seq_countdown += max(1, self.decode_prefill_ratio)
+                self._seq_countdown += max(1, ratio)
                 if fed == 0:
                     break
 
