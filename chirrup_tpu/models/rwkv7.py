@@ -103,9 +103,23 @@ def _masked_last(x, lengths, prev):
     B, T, _ = x.shape
     if lengths is None:
         return x[:, -1, :].astype(prev.dtype)
+    if T == 1:
+        # decode: the last valid position IS position 0 — the general
+        # take_along_axis below lowers to a real gather, paid twice per
+        # layer per step
+        return jnp.where((lengths > 0)[:, None], x[:, 0, :].astype(prev.dtype),
+                         prev)
     idx = jnp.clip(lengths - 1, 0, T - 1)
     last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0, :]
     return jnp.where((lengths > 0)[:, None], last.astype(prev.dtype), prev)
+
+
+def _token_shift_delta(x, shift_prev):
+    """xx = [shift_prev, x[:-1]] - x along T; T==1 needs no concat."""
+    if x.shape[1] == 1:
+        return shift_prev[:, None, :].astype(x.dtype) - x
+    return jnp.concatenate(
+        [shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
 
 
 # ---------------------------------------------------------------------------------
@@ -134,7 +148,7 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
     N = HEAD_SIZE
     reduce_fn = reduce_fn or (lambda y: y)
 
-    xx = jnp.concatenate([shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
+    xx = _token_shift_delta(x, shift_prev)
 
     if "Wrkv" in att:
         # merged R/K/V: one fused mm8 kernel computes all three token-shift
@@ -247,7 +261,7 @@ def _cmix(ffn, x, shift_prev, lengths, reduce_fn=None):
     (Albatross/rwkv7.py:674-679). Under tp, Wk is column-parallel and Wv
     row-parallel: the local output is a partial sum, reduce_fn psums it."""
     reduce_fn = reduce_fn or (lambda y: y)
-    xx = jnp.concatenate([shift_prev[:, None, :].astype(x.dtype), x[:, :-1]], axis=1) - x
+    xx = _token_shift_delta(x, shift_prev)
     kx = x + xx * ffn["x_k"]
     if isinstance(ffn["Wk"], (mm8.Mm8Weight, mm8.LayerIndexed)) \
             and isinstance(ffn["Wv"], (mm8.Mm8Weight, mm8.LayerIndexed)):
