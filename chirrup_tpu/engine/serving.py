@@ -1122,8 +1122,9 @@ class ServingModel:
 
     def insert_slots_batched(self, carry, mask, tasks) -> BatchCarry:
         """Lockstep admission: tasks[i] is the Task for each masked slot i
-        (None elsewhere). Fresh (zero-state) requests only — lockstep mode
-        runs with the prefix state cache off."""
+        (None elsewhere). Fresh (zero-state) requests only; resumes ride
+        the vote-coordinated pool-load / resume-insert rounds and over-cap
+        forbidden sets the fixed bias program (set_forbidden_lockstep)."""
         self._apply_op_settings()
         B = self.batch_size
         Kf = self.LOCKSTEP_MAX_FORBIDDEN

@@ -215,7 +215,7 @@ class ModelLoadConfig:
     # jax.distributed processes, the batch shards over it, and the worker runs
     # the fixed lockstep program sequence over its own slot rows
     # (docs/ARCHITECTURE.md §multi-host). Requires jax.distributed.initialize
-    # before engine init on every host; implies state cache off.
+    # before engine init on every host; per-host HBM pool cache supported.
     lockstep: bool = False
     # test hook: synthetic model instead of a checkpoint file
     synthetic_config: Optional[Dict[str, int]] = None

@@ -36,8 +36,8 @@ class ServerConfig:
     tensor_parallel: int = 1
     # 0/1 flag (int keeps the argparse/env auto-parser simple): lockstep
     # multi-host SPMD serving — requires jax.distributed.initialize on every
-    # host before startup; forces the state cache off (lockstep admissions are
-    # zero-state)
+    # host before startup. Full API surface (return_logits, unbounded
+    # forbidden sets, per-host HBM pool cache) as of round 4.
     lockstep: int = 0
     # named preset of measured serving settings (see PROFILES below)
     profile: str = ""
