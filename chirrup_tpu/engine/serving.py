@@ -377,6 +377,19 @@ class ServingModel:
                     interpret=interpret_pallas,
                     precision=runtime.wkv_precision)
             raw_wkv.fused_step = fused_step
+
+            # prefill (T>1) runs the TMix-fused chunk kernel for the same
+            # reason: the XLA prologue/epilogue glue + its 64-lane retiles
+            # measured ~29 ms/chunk at 46% of DMA floor (docs/PERF.md)
+            def fused_chunk(s, r, w, k_raw, a_iclr, v_nh, kk, ka, rk,
+                            lnw, lnb, e, lengths, layer):
+                return wkv7_pallas.wkv7_pallas_chunk_fused(
+                    s, layer, r, w, k_raw, a_iclr, v_nh, kk, ka, rk,
+                    lnw, lnb, e, lengths,
+                    use_dither=runtime.use_dither,
+                    interpret=interpret_pallas,
+                    precision=runtime.wkv_precision)
+            raw_wkv.fused_chunk = fused_chunk
         else:
             def raw_wkv(s, r, w, k, v, a, b, e, lengths, layer):
                 s_l = jax.lax.dynamic_index_in_dim(s, layer, 0, keepdims=False)

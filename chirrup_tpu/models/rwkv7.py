@@ -227,6 +227,36 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
         new_shift = _masked_last(x, lengths, shift_prev)
         return out, new_shift, v_first_new, wkv_full_new
 
+    fused_chunk = getattr(wkv_fn, "fused_chunk", None)
+    if fused_chunk is not None and T > 1:
+        # serving prefill: the whole TMix core (kk/k~ prologue, GroupNorm +
+        # bonus epilogue) rides the chunk WKV kernel
+        # (ops/wkv7_pallas.wkv7_pallas_chunk_fused); k and a go in RAW. The
+        # XLA-side (B,T,4096)<->(B,T,64,64) retiles around the kernel
+        # disappear — under nh_layout both reshapes below are free
+        lnw_nh = att.get("ln_x_w_nh")
+        lnb_nh = att.get("ln_x_b_nh")
+        Hl = v.shape[-1] // N  # local heads (sharded under tp)
+        if lnw_nh is None:
+            lnw_nh = att["ln_x_w"].reshape(Hl, N).swapaxes(0, 1)
+            lnb_nh = att["ln_x_b"].reshape(Hl, N).swapaxes(0, 1)
+        if nh_layout:
+            v_nh = v.reshape(B, T, N, Hl)   # free: channels already i-major
+        else:
+            v_nh = v.reshape(B, T, Hl, N).transpose(0, 1, 3, 2)
+        ln = jnp.full((B,), T, jnp.int32) if lengths is None else lengths
+        y4, wkv_full_new = fused_chunk(
+            wkv_full, r, w_raw, k, a, v_nh, att["k_k"].reshape(-1),
+            att["k_a"].reshape(-1), att["r_k"].reshape(-1), lnw_nh, lnb_nh,
+            elapsed, ln, li)
+        if nh_layout:
+            y = y4.reshape(B, T, Hl * N).astype(x.dtype)
+        else:
+            y = y4.transpose(0, 1, 3, 2).reshape(B, T, Hl * N).astype(x.dtype)
+        out = reduce_fn(matmul(y, att["Wo"], mul_in=g))
+        new_shift = _masked_last(x, lengths, shift_prev)
+        return out, new_shift, v_first_new, wkv_full_new
+
     Hl = k.shape[-1] // N  # local heads (sharded under tp)
     kk = _l2_normalize_heads(k * att["k_k"], Hl, N)
     k = k * (1 + (a - 1) * att["k_a"])

@@ -87,6 +87,44 @@ def _decay_row(w_row, step_idx, use_dither):
     return d
 
 
+def _token_update_pre(S, d1, r_row, k_row, a_row, b_row, v_nh, rk, rb,
+                      seg, segT, precision, bf16_state=False):
+    """_token_update with the tiny per-head row reductions (rk = <r,k>_head,
+    rb = <r,b>_head, both (Bt, 1, H)) PRECOMPUTED — the fused chunk kernels
+    batch them over an 8-token group in one wide dot, so the serialized
+    per-token work shrinks to the three S-sized dots of the recurrence."""
+    Bt, N, HN = S.shape
+    d1r = d1 * r_row
+    if bf16_state:
+        cd = S.dtype
+        sa_nh = _dot32((S * a_row.astype(cd)).reshape(Bt * N, HN),
+                       seg.astype(cd), precision).reshape(Bt, N, -1)
+        y1 = _dot32((S * d1r.astype(cd)).reshape(Bt * N, HN),
+                    seg.astype(cd), precision).reshape(Bt, N, -1)
+        BC = _dot32(
+            jnp.concatenate([v_nh.astype(cd).reshape(Bt * N, -1),
+                             sa_nh.astype(cd).reshape(Bt * N, -1)], axis=0),
+            segT.astype(cd), precision).astype(cd)
+        v_exp = BC[:Bt * N].reshape(Bt, N, HN)
+        sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
+        d = (d1 - 1.0).astype(cd)
+        S_new = S + (S * d + v_exp * k_row.astype(cd)
+                     + sa_exp * b_row.astype(cd))
+    else:
+        sa_nh = _dot32((S * a_row).reshape(Bt * N, HN), seg, precision) \
+            .reshape(Bt, N, -1)
+        y1 = _dot32((S * d1r).reshape(Bt * N, HN), seg, precision) \
+            .reshape(Bt, N, -1)
+        BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, -1),
+                                     sa_nh.reshape(Bt * N, -1)], axis=0),
+                    segT, precision)
+        v_exp = BC[:Bt * N].reshape(Bt, N, HN)
+        sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
+        S_new = S * d1 + v_exp * k_row + sa_exp * b_row
+    y = y1 + v_nh * rk + sa_nh * rb
+    return S_new, y
+
+
 def _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT,
                   precision, extra_rows=(), bf16_state=False):
     """One token of the WKV-7 recurrence on a (Bt, N, HN) f32 state tile.
@@ -118,18 +156,6 @@ def _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT,
     the MXU rounds f32 inputs to bf16 anyway, so the dots see essentially the
     same operands either way."""
     Bt, N, HN = S.shape
-    d1r = d1 * r_row
-    if bf16_state:
-        cd = S.dtype
-        sa_nh = _dot32((S * a_row.astype(cd)).reshape(Bt * N, HN),
-                       seg.astype(cd), precision).reshape(Bt, N, -1)
-        y1 = _dot32((S * d1r.astype(cd)).reshape(Bt * N, HN),
-                    seg.astype(cd), precision).reshape(Bt, N, -1)
-    else:
-        sa_nh = _dot32((S * a_row).reshape(Bt * N, HN), seg, precision) \
-            .reshape(Bt, N, -1)
-        y1 = _dot32((S * d1r).reshape(Bt * N, HN), seg, precision) \
-            .reshape(Bt, N, -1)
     rows = jnp.concatenate([
         (r_row * k_row).reshape(Bt, HN),
         (r_row * b_row).reshape(Bt, HN),
@@ -139,29 +165,136 @@ def _token_update(S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT,
     rb = R[Bt:2 * Bt].reshape(Bt, 1, -1)
     extras = tuple(R[(2 + i) * Bt:(3 + i) * Bt].reshape(Bt, 1, -1)
                    for i in range(len(extra_rows)))
-    if bf16_state:
-        cd = S.dtype
-        # Mosaic requires 32-bit matmul accumulators; cast the f32 result to
-        # bf16 immediately (fuses into the matmul's output stage) so the
-        # state-sized delta math below runs at packed-bf16 VPU rate
-        BC = _dot32(
-            jnp.concatenate([v_nh.astype(cd).reshape(Bt * N, -1),
-                             sa_nh.astype(cd).reshape(Bt * N, -1)], axis=0),
-            segT.astype(cd), precision).astype(cd)
-        v_exp = BC[:Bt * N].reshape(Bt, N, HN)
-        sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
-        d = (d1 - 1.0).astype(cd)
-        S_new = S + (S * d + v_exp * k_row.astype(cd)
-                     + sa_exp * b_row.astype(cd))
-    else:
-        BC = _dot32(jnp.concatenate([v_nh.reshape(Bt * N, -1),
-                                     sa_nh.reshape(Bt * N, -1)], axis=0),
-                    segT, precision)
-        v_exp = BC[:Bt * N].reshape(Bt, N, HN)
-        sa_exp = BC[Bt * N:].reshape(Bt, N, HN)
-        S_new = S * d1 + v_exp * k_row + sa_exp * b_row
-    y = y1 + v_nh * rk + sa_nh * rb
+    S_new, y = _token_update_pre(S, d1, r_row, k_row, a_row, b_row, v_nh,
+                                 rk, rb, seg, segT, precision,
+                                 bf16_state=bf16_state)
     return S_new, y, extras
+
+
+def _fused_tmix_token(S, r_row, w_row, k_raw, a_iclr, v_nh, kk_p, ka_p, rk_p,
+                      lnw, lnb, elapsed_t, active, seg, segT, precision,
+                      use_dither, bf16_state):
+    """One token of the recurrence with the WHOLE TMix core fused around it
+    (shared by the T=1 decode kernel and the T>1 chunk kernels).
+
+    prologue (reference Albatross/rwkv7.py:628-631): kk = l2norm_per_head(
+    k*k_k); k~ = k*(1+(a-1)*k_a); a_wkv = -kk; b_wkv = kk*a — two extra tiny
+    seg-dots for the norm reduce/broadcast, everything else lane-wise on
+    resident rows.
+    epilogue (reference rwkv7.py:647-648): per-head GroupNorm(eps=64e-5) on y
+    plus the ((r*k~*r_k) per-head sum) * v bonus — one extra X-dot row.
+
+    r_row/w_row: (Bt, 1, HN); k_raw/a_iclr: (Bt, HN); v_nh: (Bt, N, H);
+    kk_p/ka_p/rk_p: (1, HN); lnw/lnb: (N, H); elapsed_t: (Bt, 1) int32;
+    active: (Bt, 1, 1) bool. Returns (S_new, y_out (Bt, N, H) post-GN+bonus).
+    """
+    kk_pre = k_raw * kk_p                               # (Bt, HN)
+    norm2 = _dot32(kk_pre * kk_pre, seg, precision)     # (Bt, H)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(norm2), 1e-12)
+    inv_lane = _dot32(inv, segT, precision)             # (Bt, HN)
+    kk = kk_pre * inv_lane
+    k_t = k_raw * (1.0 + (a_iclr - 1.0) * ka_p)
+    a_row = (-kk)[:, None, :]                           # (Bt, 1, HN)
+    b_row = (kk * a_iclr)[:, None, :]
+    k_row = k_t[:, None, :]
+
+    d1 = 1.0 + _decay_row(w_row, elapsed_t, use_dither)
+    d1 = jnp.where(active, d1, 1.0)          # row-folded activity mask:
+    k_row = jnp.where(active, k_row, 0.0)    # d1=1, k=0, b=0 => S_new == S,
+    b_row = jnp.where(active, b_row, 0.0)    # no (Bt, N, HN) select pass
+    S_new, y, (bonus,) = _token_update(
+        S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT, precision,
+        extra_rows=(r_row[:, 0] * k_t * rk_p,),         # bonus row
+        bf16_state=bf16_state)
+
+    mu = jnp.mean(y, axis=1, keepdims=True)             # (Bt, 1, H)
+    var = jnp.mean(jnp.square(y - mu), axis=1, keepdims=True)
+    y_gn = (y - mu) * jax.lax.rsqrt(var + 64e-5) \
+        * lnw[None] + lnb[None]
+    return S_new, y_gn + bonus * v_nh
+
+
+def _decay_group(w_g, elapsed, base, use_dither):
+    """Batched _decay_row for an 8-token group: w_g (Bt, G, HN),
+    elapsed (Bt, 1) + base -> d1-1 (Bt, G, HN); per-token dither steps via a
+    broadcast iota (bit-matches the per-token path)."""
+    d = jnp.exp(-_EXP_NEG_HALF * jax.nn.sigmoid(w_g)) - 1.0
+    if use_dither:
+        G = w_g.shape[1]
+        steps = elapsed + base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, G), 1)                       # (Bt, G)
+        u = jnp.uint32(_DITHER_MULT) * steps.astype(jnp.uint32)
+        d = d + (jax.lax.bitcast_convert_type(u, jnp.int32)
+                 .astype(jnp.float32) * _DITHER_SCALE)[:, :, None]
+    return d
+
+
+def _fused_tmix_group(S, r_g, w_g, k_g, a_g, v_g, kk_p, ka_p, rk_p, lnw, lnb,
+                      elapsed, base, length, seg, segT, precision, use_dither,
+                      bf16_state):
+    """Eight tokens of the fused TMix chunk with everything EXCEPT the
+    recurrence batched over the group.
+
+    The first fused-chunk cut ran _fused_tmix_token per token: the kk/k~
+    prologue dots, decay/dither, tiny row reductions, and GroupNorm all
+    landed INSIDE the sequential T-loop — ~2048 serialized token-steps per
+    chunk each grew by several microseconds, giving back most of the DMA win
+    (measured 247 -> 238 ms instead of the ~215 target). Here those pieces
+    run ONCE per 8-token group as wide (Bt*8, ...) dots / VPU passes —
+    8-way batch-parallel — and the inner loop serializes only
+    _token_update_pre's three S-sized dots (the true recurrence).
+
+    r_g/w_g/k_g/a_g: (Bt, 8, HN) raw rows; v_g: (Bt, 8, N, H) post-blend;
+    kk_p/ka_p/rk_p: (1, HN); lnw/lnb: (N, H); elapsed: (Bt, 1) int32;
+    base: int32 token offset of the group; length: (Bt, 1) int32.
+    Returns (S_new, y_out (Bt, 8, N, H) post-GN+bonus, zero where inactive).
+    """
+    Bt, G, HN = r_g.shape
+    # ---- batched prologue (reference Albatross/rwkv7.py:628-631)
+    kk_pre = k_g * kk_p                                   # (Bt, G, HN)
+    norm2 = _dot32((kk_pre * kk_pre).reshape(Bt * G, HN), seg, precision)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(norm2), 1e-12)
+    inv_lane = _dot32(inv, segT, precision).reshape(Bt, G, HN)
+    kk = kk_pre * inv_lane
+    k_t = k_g * (1.0 + (a_g - 1.0) * ka_p)
+    b_g = kk * a_g
+    d1_g = 1.0 + _decay_group(w_g, elapsed, base, use_dither)
+    # masks are BORN at their target rank (broadcasted_iota + compare):
+    # expanding a (Bt, G) bool with [:, :, None] is an i1 minor-dim
+    # relayout Mosaic only supports for 32-bit types
+    actm = (base + jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
+            < length[:, :, None])                         # (Bt, G, 1)
+    d1_g = jnp.where(actm, d1_g, 1.0)        # row-folded activity mask (see
+    k_tm = jnp.where(actm, k_t, 0.0)         # _wkv7_kernel INVARIANT note)
+    b_gm = jnp.where(actm, b_g, 0.0)
+    # ---- batched tiny per-head reductions: rk, rb, bonus for all 8 tokens
+    rows = jnp.concatenate([(r_g * k_tm).reshape(Bt * G, HN),
+                            (r_g * b_gm).reshape(Bt * G, HN),
+                            (r_g * k_t * rk_p).reshape(Bt * G, HN)], axis=0)
+    R = _dot32(rows, seg, precision)
+    H = R.shape[-1]
+    rk8 = R[:Bt * G].reshape(Bt, G, 1, H)
+    rb8 = R[Bt * G:2 * Bt * G].reshape(Bt, G, 1, H)
+    bonus8 = R[2 * Bt * G:].reshape(Bt, G, 1, H)
+    # ---- sequential recurrence (the only per-token serialized work)
+    a_gm = -kk
+    ys = []
+    for i in range(G):
+        S, y = _token_update_pre(
+            S, d1_g[:, i:i + 1], r_g[:, i:i + 1], k_tm[:, i:i + 1],
+            a_gm[:, i:i + 1], b_gm[:, i:i + 1], v_g[:, i],
+            rk8[:, i], rb8[:, i], seg, segT, precision, bf16_state)
+        ys.append(y[:, None])
+    y8 = jnp.concatenate(ys, axis=1)                      # (Bt, G, N, H)
+    # ---- batched epilogue (reference rwkv7.py:647-648)
+    mu = jnp.mean(y8, axis=2, keepdims=True)              # (Bt, G, 1, H)
+    var = jnp.mean(jnp.square(y8 - mu), axis=2, keepdims=True)
+    y_gn = (y8 - mu) * jax.lax.rsqrt(var + 64e-5) \
+        * lnw[None, None] + lnb[None, None]
+    y_out = y_gn + bonus8 * v_g
+    act4 = (base + jax.lax.broadcasted_iota(jnp.int32, (1, G, 1, 1), 1)
+            < length[:, :, None, None])                   # (Bt, G, 1, 1)
+    return S, jnp.where(act4, y_out, 0.0)
 
 
 def _wkv7_kernel(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref, v2_ref,
@@ -296,6 +429,100 @@ def _wkv7_kernel_tblocked(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref,
         state_out_ref[0] = s_scr[:].astype(state_out_ref.dtype)
 
 
+def _wkv7_kernel_chunk_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref,
+                             v2_ref, kk_param_ref, ka_param_ref, rk_param_ref,
+                             lnw_ref, lnb_ref, elapsed_ref, length_ref,
+                             y2_ref, state_out_ref, *, T, use_dither,
+                             precision, bf16_state=False):
+    """T>1 chunk kernel with the WHOLE TMix core fused in (_fused_tmix_group):
+    same grouped-8 row loads as _wkv7_kernel, but the inputs are RAW k and
+    the iclr a (4 row streams instead of the 5 post-prologue r/w/k~/-kk/kk*a)
+    and y comes out post-GroupNorm+bonus in the (Bt, T, N, H) nh layout —
+    the XLA-side kk/k~ prologue, GroupNorm epilogue, and their
+    (B,T,4096)<->(B,T,64,64) retiles (64-lane minor dims pad to 128)
+    disappear from the chunk program entirely."""
+    _, Bt, N, HN = state_ref.shape
+    H = HN // _N
+    f32 = jnp.float32
+    seg, segT = _seg_matrices(HN, H)
+
+    elapsed = elapsed_ref[:].reshape(Bt, 1)
+    length = length_ref[:].reshape(Bt, 1)
+    kk_p = kk_param_ref[:].astype(f32)                  # (1, HN)
+    ka_p = ka_param_ref[:].astype(f32)
+    rk_p = rk_param_ref[:].astype(f32)
+    lnw = lnw_ref[:].astype(f32)                        # (N, H)
+    lnb = lnb_ref[:].astype(f32)
+
+    S0 = state_ref[0] if bf16_state else state_ref[0].astype(f32)
+    assert T % 8 == 0, T
+
+    def group(g, S):
+        base = g * 8
+        r_g = r_ref[:, pl.ds(base, 8), :].astype(f32)
+        w_g = w_ref[:, pl.ds(base, 8), :].astype(f32)
+        k_g = k_ref[:, pl.ds(base, 8), :].astype(f32)
+        a_g = a_ref[:, pl.ds(base, 8), :].astype(f32)
+        v_g = v2_ref[:, pl.ds(base, 8)].astype(f32)        # (Bt, 8, N, H)
+        S, y8 = _fused_tmix_group(
+            S, r_g, w_g, k_g, a_g, v_g, kk_p, ka_p, rk_p, lnw, lnb,
+            elapsed, base, length, seg, segT, precision, use_dither,
+            bf16_state)
+        y2_ref[:, pl.ds(base, 8)] = y8.astype(y2_ref.dtype)
+        return S
+
+    S_fin = jax.lax.fori_loop(0, T // 8, group, S0)
+    state_out_ref[0] = S_fin.astype(state_out_ref.dtype)
+
+
+def _wkv7_kernel_tblocked_fused(li_ref, state_ref, r_ref, w_ref, k_ref,
+                                a_ref, v2_ref, kk_param_ref, ka_param_ref,
+                                rk_param_ref, lnw_ref, lnb_ref, elapsed_ref,
+                                length_ref, y2_ref, state_out_ref, s_scr, *,
+                                Tb, n_tb, use_dither, precision,
+                                bf16_state=False):
+    """T-BLOCKED chunk kernel with the fused TMix core (see
+    _wkv7_kernel_tblocked for the blocking rationale and
+    _wkv7_kernel_chunk_fused for the fusion contract)."""
+    _, Bt, N, HN = state_ref.shape
+    f32 = jnp.float32
+    seg, segT = _seg_matrices(HN, HN // _N)
+    tb = pl.program_id(1)
+
+    elapsed = elapsed_ref[:].reshape(Bt, 1)
+    length = length_ref[:].reshape(Bt, 1)
+    kk_p = kk_param_ref[:].astype(f32)
+    ka_p = ka_param_ref[:].astype(f32)
+    rk_p = rk_param_ref[:].astype(f32)
+    lnw = lnw_ref[:].astype(f32)
+    lnb = lnb_ref[:].astype(f32)
+
+    @pl.when(tb == 0)
+    def _load():
+        s_scr[:] = state_ref[0] if bf16_state \
+            else state_ref[0].astype(f32)
+
+    S = s_scr[:]
+    t0 = tb * Tb
+    for g in range(Tb // 8):
+        base = g * 8
+        r_g = r_ref[:, pl.ds(base, 8), :].astype(f32)
+        w_g = w_ref[:, pl.ds(base, 8), :].astype(f32)
+        k_g = k_ref[:, pl.ds(base, 8), :].astype(f32)
+        a_g = a_ref[:, pl.ds(base, 8), :].astype(f32)
+        v_g = v2_ref[:, pl.ds(base, 8)].astype(f32)        # (Bt, 8, N, H)
+        S, y8 = _fused_tmix_group(
+            S, r_g, w_g, k_g, a_g, v_g, kk_p, ka_p, rk_p, lnw, lnb,
+            elapsed, t0 + base, length, seg, segT, precision, use_dither,
+            bf16_state)
+        y2_ref[:, pl.ds(base, 8)] = y8.astype(y2_ref.dtype)
+    s_scr[:] = S
+
+    @pl.when(tb == n_tb - 1)
+    def _store():
+        state_out_ref[0] = s_scr[:].astype(state_out_ref.dtype)
+
+
 def _wkv7_kernel_t1(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, b_ref,
                     v_ref, elapsed_ref, length_ref, y_ref, state_out_ref, *,
                     use_dither, precision, bf16_state=False):
@@ -365,32 +592,10 @@ def _wkv7_kernel_t1_fused(li_ref, state_ref, r_ref, w_ref, k_ref, a_ref, v_ref,
     ka_p = ka_param_ref[:].astype(f32)
     rk_p = rk_param_ref[:].astype(f32)
 
-    # ---- prologue: kk / k~ / wkv-side a,b (reference rwkv7.py:628-631)
-    kk_pre = k_raw * kk_p                               # (Bt, HN)
-    norm2 = _dot32(kk_pre * kk_pre, seg, precision)     # (Bt, H)
-    inv = 1.0 / jnp.maximum(jnp.sqrt(norm2), 1e-12)
-    inv_lane = _dot32(inv, segT, precision)             # (Bt, HN)
-    kk = kk_pre * inv_lane
-    k_t = k_raw * (1.0 + (a_iclr - 1.0) * ka_p)
-    a_row = (-kk)[:, None, :]                           # (Bt, 1, HN)
-    b_row = (kk * a_iclr)[:, None, :]
-    k_row = k_t[:, None, :]
-
-    d1 = 1.0 + _decay_row(w_row, elapsed_ref[:], use_dither)
-    d1 = jnp.where(active, d1, 1.0)          # row-folded activity mask:
-    k_row = jnp.where(active, k_row, 0.0)    # d1=1, k=0, b=0 => S_new == S,
-    b_row = jnp.where(active, b_row, 0.0)    # no (Bt, N, HN) select pass
-    S_new, y, (bonus,) = _token_update(
-        S, d1, r_row, k_row, a_row, b_row, v_nh, seg, segT, precision,
-        extra_rows=(r_row[:, 0] * k_t * rk_p,),         # bonus row
-        bf16_state=bf16_state)
-
-    # ---- epilogue: per-head GroupNorm + bonus*v (reference rwkv7.py:647-648)
-    mu = jnp.mean(y, axis=1, keepdims=True)             # (Bt, 1, H)
-    var = jnp.mean(jnp.square(y - mu), axis=1, keepdims=True)
-    y_gn = (y - mu) * jax.lax.rsqrt(var + 64e-5) \
-        * lnw_ref[:][None] + lnb_ref[:][None]
-    y_out = y_gn + bonus * v_nh
+    S_new, y_out = _fused_tmix_token(
+        S, r_row, w_row, k_raw, a_iclr, v_nh, kk_p, ka_p, rk_p,
+        lnw_ref[:].astype(f32), lnb_ref[:].astype(f32), elapsed_ref[:],
+        active, seg, segT, precision, use_dither, bf16_state)
 
     y_ref[:] = jnp.where(active, y_out, 0.0).astype(y_ref.dtype)
     state_out_ref[0] = S_new.astype(state_out_ref.dtype)
@@ -468,6 +673,155 @@ def wkv7_pallas_step_fused(state, layer, r, w_raw, k_raw, a_iclr, v_nh,
 
 @functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
                                               "precision"))
+def wkv7_pallas_chunk_fused(state, layer, r, w_raw, k_raw, a_iclr, v_nh,
+                            k_k, k_a, r_k, ln_w_nh, ln_b_nh, elapsed, lengths,
+                            *, use_dither=True, interpret=False,
+                            precision="default"):
+    """Prefill chunk (T>1) with the WHOLE TMix core fused into the WKV kernel
+    — the chunk-path twin of wkv7_pallas_step_fused.
+
+    Why: the unfused chunk path ran the kk/k~ prologue, the GroupNorm+bonus
+    epilogue, and their (B,T,4096)<->(B,T,64,64) retiles in XLA — profiled at
+    ~29 ms/chunk of glue at 46% of its DMA floor (64-lane minor dims pad to
+    128; docs/PERF.md round-4 floor table). Fusing moves all of it onto rows
+    already resident in VMEM and drops the 5th row stream (b = kk*a) from
+    HBM entirely (4 streams instead of 5, so LARGER batch tiles also fit).
+
+    state: STACKED (L, B, N, HN), layer `layer` advanced in place.
+    r/w_raw/k_raw/a_iclr: (B, T, HN) raw lane rows; v_nh: (B, T, N, H)
+    i-on-sublane (post v_first blend); k_k/k_a/r_k: (HN,) per-layer params;
+    ln_w_nh/ln_b_nh: (N, H). lengths: (B,) int32 valid-token counts.
+    Returns y (B, T, N, H) post-GroupNorm+bonus (zero beyond lengths) and
+    the updated stacked state. T is padded to a multiple of 8 internally
+    (pad tokens are masked by lengths)."""
+    B, T, HN = r.shape
+    N = _N
+    H = HN // N
+    prec, bf16_state = _parse_precision(precision, state.dtype)
+
+    T8 = -(-T // 8) * 8
+    if T8 != T:
+        pad3 = ((0, 0), (0, T8 - T), (0, 0))
+        r, w_raw, k_raw, a_iclr = (jnp.pad(x, pad3)
+                                   for x in (r, w_raw, k_raw, a_iclr))
+        v_nh = jnp.pad(v_nh, ((0, 0), (0, T8 - T), (0, 0), (0, 0)))
+
+    Bt = _pick_batch_tile(B, T8, HN, row_isz=r.dtype.itemsize,
+                          state_isz=state.dtype.itemsize,
+                          carry_isz=2 if bf16_state else 4, n_rows=4)
+    bt_blocked = 0
+    if T8 > 8:
+        bt_blocked = _pick_batch_tile_blocked(
+            B, 8, HN, row_isz=r.dtype.itemsize,
+            state_isz=state.dtype.itemsize,
+            carry_isz=2 if bf16_state else 4, n_rows=4)
+
+    lead = (jnp.asarray(layer, jnp.int32).reshape(1), state, r, w_raw, k_raw,
+            a_iclr, v_nh, k_k.reshape(1, HN), k_a.reshape(1, HN),
+            r_k.reshape(1, HN), ln_w_nh, ln_b_nh,
+            elapsed[:, None, None], lengths[:, None, None])
+    cost = pl.CostEstimate(
+        flops=4 * 2 * B * T8 * N * HN * H + 4 * B * T8 * N * HN,
+        bytes_accessed=2 * B * N * HN * state.dtype.itemsize
+        + 6 * B * T8 * HN * r.dtype.itemsize,
+        transcendentals=B * T8 * HN,
+    )
+
+    if bt_blocked > Bt:
+        Tb = 8
+        n_tb = T8 // Tb
+        Btb = bt_blocked
+
+        def bspec_b(*tile):
+            return pl.BlockSpec((Btb,) + tile,
+                                lambda i, tb, li: (i, tb) + (0,) * (len(tile) - 1))
+
+        def bspec_row(*tile):
+            return pl.BlockSpec((Btb,) + tile,
+                                lambda i, tb, li: (i,) + (0,) * len(tile))
+
+        def pspec_b(*tile):  # per-layer param tensors, whole in every program
+            return pl.BlockSpec(tile, lambda i, tb, li: (0,) * len(tile))
+
+        state_spec_b = pl.BlockSpec((1, Btb, N, HN),
+                                    lambda i, tb, li: (li[0], i, 0, 0))
+        kernel_b = functools.partial(
+            _wkv7_kernel_tblocked_fused, Tb=Tb, n_tb=n_tb,
+            use_dither=use_dither, precision=prec, bf16_state=bf16_state)
+        grid_spec_b = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // Btb, n_tb),
+            in_specs=[
+                state_spec_b,
+                bspec_b(Tb, HN), bspec_b(Tb, HN), bspec_b(Tb, HN),
+                bspec_b(Tb, HN),                             # r w k a
+                bspec_b(Tb, N, H),                           # v
+                pspec_b(1, HN), pspec_b(1, HN), pspec_b(1, HN),
+                pspec_b(N, H), pspec_b(N, H),                # ln w/b
+                bspec_row(1, 1), bspec_row(1, 1),            # elapsed, lengths
+            ],
+            out_specs=[bspec_b(Tb, N, H), state_spec_b],
+            scratch_shapes=[pltpu.VMEM(
+                (Btb, N, HN), state.dtype if bf16_state else jnp.float32)],
+        )
+        y2, state_out = pl.pallas_call(
+            kernel_b,
+            grid_spec=grid_spec_b,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, T8, N, H), r.dtype),
+                jax.ShapeDtypeStruct(state.shape, state.dtype),
+            ],
+            input_output_aliases={1: 1},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(*lead)
+        return y2[:, :T], state_out
+
+    def bspec(*tile):
+        return pl.BlockSpec((Bt,) + tile, lambda i, li: (i,) + (0,) * len(tile))
+
+    def pspec(*tile):
+        return pl.BlockSpec(tile, lambda i, li: (0,) * len(tile))
+
+    state_spec = pl.BlockSpec((1, Bt, N, HN), lambda i, li: (li[0], i, 0, 0))
+    kernel = functools.partial(_wkv7_kernel_chunk_fused, T=T8,
+                               use_dither=use_dither, precision=prec,
+                               bf16_state=bf16_state)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // Bt,),
+        in_specs=[
+            state_spec,
+            bspec(T8, HN), bspec(T8, HN), bspec(T8, HN), bspec(T8, HN),
+            bspec(T8, N, H),
+            pspec(1, HN), pspec(1, HN), pspec(1, HN),
+            pspec(N, H), pspec(N, H),
+            bspec(1, 1), bspec(1, 1),
+        ],
+        out_specs=[bspec(T8, N, H), state_spec],
+    )
+    y2, state_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T8, N, H), r.dtype),
+            jax.ShapeDtypeStruct(state.shape, state.dtype),
+        ],
+        input_output_aliases={1: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(*lead)
+    return y2[:, :T], state_out
+
+
+@functools.partial(jax.jit, static_argnames=("use_dither", "interpret",
+                                              "precision"))
 def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,
                          lengths, *, use_dither=True, interpret=False,
                          precision="highest"):
@@ -522,7 +876,8 @@ def _wkv7_pallas_call_t1(state, layer, r, w_raw, k, a, b, v, elapsed,
 
 
 def _pick_batch_tile(B: int, T: int, HN: int, *, row_isz: int = 2,
-                     state_isz: int = 2, carry_isz: int = 4) -> int:
+                     state_isz: int = 2, carry_isz: int = 4,
+                     n_rows: int = 5) -> int:
     """Largest Bt with the program's VMEM footprint ~under 68MB (state f32 tile +
     double-buffered staging of state/rows), so Mosaic can still double-buffer.
 
@@ -550,7 +905,7 @@ def _pick_batch_tile(B: int, T: int, HN: int, *, row_isz: int = 2,
     def footprint(bt: int) -> int:
         return (bt * _N * HN * carry_isz               # S carry (f32 or bf16)
                 + 2 * 2 * bt * _N * HN * state_isz     # state in/out x2 buf
-                + 2 * 5 * bt * T_pad * HN * row_isz    # r,w,k,a,b x2 buf
+                + 2 * n_rows * bt * T_pad * HN * row_isz  # row streams x2 buf
                 + 2 * 2 * bt * T * _N * H_pad * row_isz)  # v,y (lane-padded)
 
     budget = 68 * 1024 * 1024
@@ -570,7 +925,8 @@ def _pick_batch_tile(B: int, T: int, HN: int, *, row_isz: int = 2,
 
 
 def _pick_batch_tile_blocked(B: int, Tb: int, HN: int, *, row_isz: int = 2,
-                             state_isz: int = 2, carry_isz: int = 4) -> int:
+                             state_isz: int = 2, carry_isz: int = 4,
+                             n_rows: int = 5) -> int:
     """Batch tile for the T-BLOCKED chunk kernel: the row windows are only
     (bt, Tb, HN), so far more rows fit than the unblocked full-T windows —
     the whole point (wider per-token dots). Footprint: state scratch +
@@ -581,7 +937,7 @@ def _pick_batch_tile_blocked(B: int, Tb: int, HN: int, *, row_isz: int = 2,
     def footprint(bt: int) -> int:
         return (bt * _N * HN * carry_isz
                 + 2 * 2 * bt * _N * HN * state_isz
-                + 2 * 5 * bt * Tb * HN * row_isz
+                + 2 * n_rows * bt * Tb * HN * row_isz
                 + 2 * 2 * bt * Tb * _N * H_pad * row_isz)
 
     # headroom for the in-kernel f32 transients (S*a / S*d1r copies are

@@ -49,10 +49,10 @@ class ServerConfig:
 # not override the field via env var or CLI flag.
 PROFILES = {
     # 7.2B (L32/C4096) INT8 on one TPU v5e chip — the docs/PERF.md headline
-    # config: batch 384 is the measured throughput knee (7.8k tok/s aggregate,
-    # 20 tok/s/request), 16-step decode blocks (worker default on TPU),
-    # bf16 activations + bf16 WKV state, HBM state pool of 50 prefix rows
-    # (~0.85 GB) beside 7.4 GB weights + 6.5 GB request state.
+    # config: batch 384 is the measured throughput knee (8.1k tok/s aggregate
+    # in-process, 20 tok/s/request), 16-step decode blocks (worker default on
+    # TPU), bf16 activations + bf16 WKV state, 16-row HBM state pool
+    # (~0.27 GB, see below) beside 7.4 GB weights + 6.5 GB request state.
     "v5e-7b2": {
         "batch_size": 384,
         # 16 HBM pool rows (~0.27 GB): B=384 leaves ~1 GB of HBM after

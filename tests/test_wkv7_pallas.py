@@ -151,6 +151,92 @@ def test_fused_tmix_step_matches_composition(rng):
     np.testing.assert_array_equal(np.asarray(s_f[0]), np.asarray(state[0]))
 
 
+def _fused_chunk_oracle(rng, B, T, H, L, li, lengths):
+    """Build raw TMix inputs and the unfused composition's outputs
+    (l2norm prologue -> reference WKV -> group_norm -> bonus)."""
+    from chirrup_tpu.models.rwkv7 import group_norm, _l2_normalize_heads
+
+    N = HEAD_SIZE
+    C = H * N
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    r, w, k_raw, v = f(B, T, C), f(B, T, C), f(B, T, C), f(B, T, C)
+    a_iclr = jax.nn.sigmoid(f(B, T, C))
+    k_k, k_a, r_k = f(C) * 0.5, f(C) * 0.5, f(C) * 0.5
+    lnw, lnb = f(C) * 0.3 + 1.0, f(C) * 0.1
+    state = jnp.asarray(rng.standard_normal((L, B, N, C)) * 0.2, jnp.float32)
+    elapsed = jnp.asarray(rng.integers(0, 1000, (B,)), jnp.int32)
+
+    kk = _l2_normalize_heads(k_raw * k_k, H, N)
+    k_t = k_raw * (1 + (a_iclr - 1) * k_a)
+    y_ref, s_ref = wkv7_reference_batch(
+        state[li], r, w, k_t, v, -kk, kk * a_iclr, elapsed, lengths=lengths)
+    y_ref = group_norm(y_ref, H, lnw, lnb, eps=64e-5)
+    bonus = (r * k_t * r_k).reshape(B, T, H, N).sum(-1, keepdims=True)
+    y_ref = y_ref + (bonus * v.reshape(B, T, H, N)).reshape(B, T, C)
+
+    inputs = (state, li, r, w, k_raw, a_iclr,
+              v.reshape(B, T, H, N).transpose(0, 1, 3, 2),  # v_nh (B,T,N,H)
+              k_k, k_a, r_k, lnw.reshape(H, N).swapaxes(0, 1),
+              lnb.reshape(H, N).swapaxes(0, 1), elapsed, lengths)
+    return inputs, y_ref, s_ref, state
+
+
+def _check_fused_chunk(inputs, y_ref, s_ref, state, lengths):
+    from chirrup_tpu.ops.wkv7_pallas import wkv7_pallas_chunk_fused
+
+    li = inputs[1]
+    B, T, N, H = inputs[6].shape
+    y4, s_f = wkv7_pallas_chunk_fused(*inputs, interpret=True,
+                                      precision="highest")
+    assert y4.shape == (B, T, N, H)
+    y_f = np.asarray(y4.transpose(0, 1, 3, 2).reshape(B, T, H * N))
+    # the fused kernel ZEROES masked positions; the unfused composition's
+    # GroupNorm turns the kernel's zeros into ln_b there (inactive rows'
+    # activations are never consumed — see the _wkv7_kernel INVARIANT note)
+    for bi in range(B):
+        L_i = int(lengths[bi])
+        np.testing.assert_allclose(y_f[bi, :L_i], np.asarray(y_ref)[bi, :L_i],
+                                   rtol=5e-4, atol=5e-4)
+        assert np.all(y_f[bi, L_i:] == 0)
+    np.testing.assert_allclose(np.asarray(s_f[li]), np.asarray(s_ref),
+                               rtol=5e-4, atol=5e-4)
+    for other in range(s_f.shape[0]):
+        if other != li:
+            np.testing.assert_array_equal(np.asarray(s_f[other]),
+                                          np.asarray(state[other]))
+    # fully-masked row's slab passes through untouched
+    dead = [bi for bi in range(B) if int(lengths[bi]) == 0]
+    for bi in dead:
+        np.testing.assert_array_equal(np.asarray(s_f[li][bi]),
+                                      np.asarray(state[li][bi]))
+
+
+def test_fused_tmix_chunk_matches_composition(rng):
+    """wkv7_pallas_chunk_fused (grouped-8 variant) == the unfused composition
+    on a ragged T>1 chunk, incl. T padding (12 -> 16) and stacked-layer
+    aliasing (reference TMix, Albatross/rwkv7.py:628-648)."""
+    lengths = jnp.asarray([12, 5, 0], jnp.int32)
+    inputs, y_ref, s_ref, state = _fused_chunk_oracle(
+        rng, B=3, T=12, H=2, L=3, li=1, lengths=lengths)
+    _check_fused_chunk(inputs, y_ref, s_ref, state, lengths)
+
+
+def test_fused_tmix_chunk_tblocked(rng, monkeypatch):
+    """The T-BLOCKED fused chunk kernel (state carried in VMEM scratch across
+    token blocks) matches the same oracle. The blocked path only wins at real
+    scale, so force the dispatch by pinning the tile pickers."""
+    from chirrup_tpu.ops import wkv7_pallas as wp
+
+    monkeypatch.setattr(wp, "_pick_batch_tile",
+                        lambda *a, **k: 1)
+    monkeypatch.setattr(wp, "_pick_batch_tile_blocked",
+                        lambda B, *a, **k: 8 if B % 8 == 0 else 0)
+    lengths = jnp.asarray([16, 9, 3, 0, 16, 1, 8, 11], jnp.int32)
+    inputs, y_ref, s_ref, state = _fused_chunk_oracle(
+        rng, B=8, T=16, H=2, L=2, li=0, lengths=lengths)
+    _check_fused_chunk(inputs, y_ref, s_ref, state, lengths)
+
+
 def test_bf16_compute_precision_mode(rng):
     """precision="bf16" (state-tile elementwise in packed bf16 via the
     delta-form update `S += S*d + v k^T + sa b^T` — the reference fp16
