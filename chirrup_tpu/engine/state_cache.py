@@ -236,6 +236,9 @@ class PrefixStateCache:
                 old_key, old_state = self._lru.popitem(last=False)
                 _release(old_state)
                 self._remove_path(old_key)
+        mark = getattr(state, "mark_evictable", None)
+        if mark is not None:
+            mark()  # device-pool row: revocable under snapshot pressure
 
         if return_trie_node:
             return node
@@ -253,8 +256,19 @@ class PrefixStateCache:
 
     def _lru_get(self, key: Tuple[int, ...]) -> Optional[RequestState]:
         state = self._lru.get(key)
-        if state is not None:
-            self._lru.move_to_end(key)
+        if state is None:
+            return None
+        if getattr(state, "revoked", False):
+            # a device-pool row recycled by evict-on-exhaustion (the worker
+            # revoked the LRU cache-held row under snapshot pressure): the
+            # entry self-heals to a miss here
+            self._lru.pop(key)
+            self._remove_path(key)
+            return None
+        self._lru.move_to_end(key)
+        touch = getattr(state, "touch_evictable", None)
+        if touch is not None:
+            touch()  # keep the allocator's eviction order == this LRU order
         return state
 
     def _find(self, tokens) -> Optional[_TrieNode]:

@@ -14,6 +14,7 @@ import dataclasses
 import enum
 import queue
 import uuid
+from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Sequence, Set
 
 import numpy as np
@@ -89,7 +90,15 @@ class RequestState:
 
 
 class StatePoolAllocator:
-    """Thread-safe free-list over the rows of a worker's device state pool."""
+    """Thread-safe free-list over the rows of a worker's device state pool,
+    plus an EVICTABLE registry: cache-held PoolHandles register here (the
+    PrefixStateCache does it on insert and refreshes recency on hit) so the
+    worker can revoke the least-recently-used cache row when a snapshot
+    burst outruns LRU releases — instead of forfeiting the snapshot (the
+    round-4 skip path measured 317 skips/120 s at 1.2x Poisson overload,
+    each one lost cache reuse). Rows pinned by in-flight resumes
+    (refs > 1) are never revoked; the skip path remains the fallback when
+    every candidate is pinned."""
 
     def __init__(self, size: int):
         import threading
@@ -97,6 +106,9 @@ class StatePoolAllocator:
         self._lock = threading.Lock()
         self._free = list(range(size - 1, -1, -1))
         self.size = size
+        # insertion order == eviction order (oldest first); refreshed on
+        # cache hits via touch_evictable
+        self._evictable: "OrderedDict[int, PoolHandle]" = OrderedDict()
 
     def alloc(self) -> Optional[int]:
         with self._lock:
@@ -109,6 +121,41 @@ class StatePoolAllocator:
     def available(self) -> int:
         with self._lock:
             return len(self._free)
+
+    # ------------------------------------------------- evictable registry
+
+    def note_evictable(self, handle: "PoolHandle") -> None:
+        """Register (or refresh) a cache-held handle as revocable-under-
+        pressure. Called via PoolHandle.mark_evictable from the cache."""
+        with self._lock:
+            self._evictable.pop(id(handle), None)
+            self._evictable[id(handle)] = handle
+
+    def touch_evictable(self, handle: "PoolHandle") -> None:
+        with self._lock:
+            if id(handle) in self._evictable:
+                self._evictable.move_to_end(id(handle))
+
+    def evict_lru_and_alloc(self) -> Optional[int]:
+        """Last-resort alloc: revoke the oldest revocable cache-held handle
+        (its cache entry self-heals to a miss on next lookup) and take the
+        freed row. Returns None only when every registered handle is pinned
+        by an in-flight resume (or already dead) AND the free list stays
+        empty — the caller then falls back to skipping the snapshot."""
+        with self._lock:
+            candidates = list(self._evictable.items())
+        for key, h in candidates:
+            if h.try_revoke():
+                with self._lock:
+                    self._evictable.pop(key, None)
+                row = self.alloc()  # may lose a race to another alloc;
+                if row is not None:  # keep evicting if so
+                    return row
+            elif not h.alive:
+                # released or revoked through another path: prune the entry
+                with self._lock:
+                    self._evictable.pop(key, None)
+        return None
 
 
 @dataclasses.dataclass
@@ -129,20 +176,59 @@ class PoolHandle:
     allocator: StatePoolAllocator
     device_bytes: int = 0
     refs: int = 1
+    # True once evict-on-exhaustion recycled the row out from under the
+    # cache (only possible while refs == 1, i.e. nothing in flight reads
+    # it); the cache drops revoked entries lazily at lookup
+    revoked: bool = False
+
+    @property
+    def alive(self) -> bool:
+        return self.refs > 0 and not self.revoked
 
     def acquire(self) -> "PoolHandle":
-        import threading  # refcount ops are rare; a module lock suffices
-
         with _POOL_HANDLE_LOCK:
-            assert self.refs > 0, "acquire after free"
+            assert self.refs > 0 and not self.revoked, "acquire after free"
             self.refs += 1
         return self
 
+    def try_acquire(self) -> bool:
+        """acquire() that reports death instead of asserting — the app-side
+        resume path races with worker-side evict-on-exhaustion (revocation
+        needs refs == 1, exactly the cache-held-only window between a cache
+        lookup and this acquire)."""
+        with _POOL_HANDLE_LOCK:
+            if self.revoked or self.refs <= 0:
+                return False
+            self.refs += 1
+            return True
+
     def release(self) -> None:
         with _POOL_HANDLE_LOCK:
+            if self.revoked:
+                return  # the row was already recycled at revocation
             self.refs -= 1
             if self.refs == 0:
                 self.allocator.free(self.row)
+
+    def try_revoke(self) -> bool:
+        """Evict-on-exhaustion: recycle the row NOW if the cache is the only
+        holder (refs == 1). Pinned handles (an in-flight resume holds a
+        second ref) and dead handles refuse."""
+        with _POOL_HANDLE_LOCK:
+            if self.revoked or self.refs != 1:
+                return False
+            self.revoked = True
+            self.refs = 0
+            self.allocator.free(self.row)
+            return True
+
+    def mark_evictable(self) -> None:
+        """Called by the prefix cache when it stores this handle."""
+        self.allocator.note_evictable(self)
+
+    def touch_evictable(self) -> None:
+        """Called by the prefix cache on a lookup hit (recency refresh)."""
+        self.allocator.touch_evictable(self)
 
     def nbytes(self) -> int:
         return self.device_bytes  # accounted as device-pool bytes

@@ -136,6 +136,7 @@ class Worker:
 
         self.shutdown_flag = False
         self.snapshot_skips = 0   # pool-exhausted snapshot skips (telemetry)
+        self.snapshot_evictions = 0  # LRU cache rows revoked under pressure
         self._stop_vote = False   # lockstep: voted to shut down, awaiting quorum
         self._seq_countdown = 0
         self._loop_times: deque = deque(maxlen=10)
@@ -321,6 +322,18 @@ class Worker:
         self.slots[idx] = SlotData()
         self._release_mark(idx)
 
+    def _pool_alloc(self) -> Optional[int]:
+        """Pool row for a snapshot: free list first, then evict-on-exhaustion
+        (revoke the cache's LRU pool-backed entry — the cache self-heals the
+        dead entry to a miss at its next lookup). Returns None only when
+        every cache-held row is pinned by an in-flight resume."""
+        row = self.pool_allocator.alloc()
+        if row is None:
+            row = self.pool_allocator.evict_lru_and_alloc()
+            if row is not None:
+                self.snapshot_evictions += 1
+        return row
+
     def _snapshot_slot(self, idx: int):
         """Prefix-cache snapshot. Preferred path: copy the slot's state into
         a row of the DEVICE state pool (an on-device copy — no host traffic
@@ -331,15 +344,16 @@ class Worker:
         here stalled serving for seconds per snapshot through the tunnel)."""
         slot = self.slots[idx]
         if self.state_pool is not None:
-            row = self.pool_allocator.alloc()
+            row = self._pool_alloc()
             if row is None:
-                # pool exhausted (a snapshot burst outran LRU releases): SKIP
-                # the snapshot — the cache is capacity-bounded by the pool
-                # anyway, and falling back to host-RAM extraction here
-                # measured multi-second D2H stalls per snapshot mid-serving.
-                # The state-None event tells the app to wake this prompt's
-                # dedup followers NOW (they re-prefill) instead of leaving
-                # them parked on the leader's claim until its generation ends
+                # pool exhausted AND every cache-held row pinned by in-flight
+                # resumes (evict-on-exhaustion already tried the LRU
+                # revocation): SKIP the snapshot — falling back to host-RAM
+                # extraction here measured multi-second D2H stalls per
+                # snapshot mid-serving. The state-None event tells the app
+                # to wake this prompt's dedup followers NOW (they re-prefill)
+                # instead of leaving them parked on the leader's claim until
+                # its generation ends
                 self.snapshot_skips += 1
                 slot.prefill_cached = True
                 slot.task.output_queue.put_nowait(("cache_prefill", {
@@ -447,7 +461,7 @@ class Worker:
                 break
         row = None
         if req_idx is not None:
-            row = self.pool_allocator.alloc()
+            row = self._pool_alloc()
             if row is None:
                 # pool exhausted: skip the snapshot (the request proceeds;
                 # the state-None event wakes dedup followers to re-prefill)
@@ -509,8 +523,6 @@ class Worker:
         prefill_count = sum(1 for s in self.slots if s.phase == SlotPhase.SEQ_PREFILL)
         for idx in range(lo, hi):
             slot = self.slots[idx]
-            if prefill_count >= self.max_prefill_count:
-                break
             if slot.phase != SlotPhase.EMPTY:
                 continue
             if self._deferred_tasks:
@@ -520,7 +532,26 @@ class Worker:
                     task = self.task_queue.get_nowait()
                 except queue.Empty:
                     break
-            prefill_count += 1
+            # Only SEQ_PREFILL-bound admissions consume compact-prefill rows
+            # (the cap exists to bound the (P, T) bulk-prefill program,
+            # serving.prefill_slots); short prompts land in ONE_PREFILL/
+            # DECODE and ride the decode block at zero extra device cost, so
+            # charging them against the cap made 384 simultaneous ~10-token
+            # arrivals admit in ~12 waves (TTFT p50 12 s — round-4 VERDICT).
+            # The entry phase is knowable pre-admission from the prompt
+            # length (mirrors the phase decision below: remaining after the
+            # popped first token, pad-adjusted). Over-cap long prompts defer
+            # to the front of the line; later short arrivals still admit
+            # (standard continuous-batching admission, unlike the reference's
+            # all-admissions cap, chirrup/worker.py:570-580).
+            pad_pred = max(task.cache_prefill_padding - 1, 0)
+            seq_bound = (len(task.prefill_tokens) - 1 - pad_pred
+                         >= self.min_forward_seq_len)
+            if seq_bound and prefill_count >= self.max_prefill_count:
+                deferred_now.append(task)
+                continue
+            if seq_bound:
+                prefill_count += 1
 
             pool_resume = (isinstance(task.state, PoolHandle)
                            and self.state_pool is not None
@@ -543,7 +574,8 @@ class Worker:
                 # host-locally for a finishing return_logits slot to free one
                 # (no vote needed — admission counts are host-local anyway)
                 deferred_now.append(task)
-                prefill_count -= 1
+                if seq_bound:
+                    prefill_count -= 1
                 continue
             if self.lockstep and (task.state is not None or not simple):
                 # complex admission (resume-from-state and/or an over-cap
@@ -1153,6 +1185,7 @@ class Worker:
             },
             "loop_count": self.loop_count,
             "snapshot_skips": self.snapshot_skips,
+            "snapshot_evictions": self.snapshot_evictions,
             "max_allocated_memory_GB": self._device_memory_gb(),
         })
         return True

@@ -77,6 +77,11 @@ class ChatCompletionStreamResponse(BaseModel):
     created: int
     model: str
     choices: List[ChatCompletionStreamChoice]
+    # present only on the TERMINAL frame (finish_reason set): server-counted
+    # token totals, like OpenAI's stream_options usage chunk. Clients should
+    # count tokens from this, not from frame counts — think-tag routing
+    # merges token runs, so frames undercount tokens ~1.2x
+    usage: Optional[ChatCompletionResponseUsage] = None
 
 
 class ModelInfo(BaseModel):

@@ -153,11 +153,15 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
             await state_cache.check_and_wait_prefill(
                 prefill_tokens, cache_prefill_padding, return_claim=True,
                 can_lead=will_cache)
-        if state is not None and hasattr(state, "acquire"):
+        if state is not None and hasattr(state, "try_acquire"):
             # device-pool handle: hold a reference for this in-flight resume
             # so LRU eviction cannot recycle the HBM row under the request
-            # (the worker releases it after the on-device load)
-            state.acquire()
+            # (the worker releases it after the on-device load). try_acquire
+            # races with worker-side evict-on-exhaustion (revocation targets
+            # exactly this cache-held-only window); on loss, fall back to a
+            # full prefill — the cache drops the dead entry at next lookup
+            if not state.try_acquire():
+                real_prefill_tokens, state = prefill_tokens, None
     else:
         real_prefill_tokens, state = prefill_tokens, None
 
@@ -182,7 +186,8 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
             cache_prefill_padding=cache_prefill_padding,
         )
         if req.stream:
-            return await _stream_chat(request, completion, req, state_cache)
+            return await _stream_chat(request, completion, req, state_cache,
+                                      prefill_tokens)
         return await _non_stream_chat(request, completion, req, state_cache,
                                       prefill_tokens)
     finally:
@@ -220,7 +225,7 @@ def _sse_response() -> web.StreamResponse:
 
 async def _stream_chat(request, completion: AsyncEngineCompletion,
                        req: ChatCompletionRequest,
-                       state_cache) -> web.StreamResponse:
+                       state_cache, prefill_tokens) -> web.StreamResponse:
     """SSE streaming with keep-alive comments (reference app.py:241-338)."""
     completion_id = f"chatcmpl-{uuid.uuid4().hex}"
     created = int(time.time())
@@ -274,10 +279,23 @@ async def _stream_chat(request, completion: AsyncEngineCompletion,
         except Exception as exc:  # noqa: BLE001
             stream_q.put_nowait(
                 f"data: {json.dumps(_error_json(str(exc), 'internal_error'))}\n\n")
+        # terminal frame: finish_reason + server-counted usage. The client
+        # can count tokens from THIS instead of counting frames (think-tag
+        # run merging makes frames undercount tokens ~1.2x — the round-4
+        # fullstack benchmark needed an inferred frame_to_token_scale
+        # correction; this makes the measurement correction-free)
+        n_gen = len(completion.task.generated_tokens)
         final = ChatCompletionStreamResponse(
             id=completion_id, created=created, model=req.model,
-            choices=[ChatCompletionStreamChoice(index=0, delta={},
-                                                finish_reason="stop")])
+            choices=[ChatCompletionStreamChoice(
+                index=0, delta={},
+                finish_reason=str(
+                    completion.task.request_status.get_finished_reason(
+                        completion.task.request_status) or "stop"))],
+            usage=ChatCompletionResponseUsage(
+                prompt_tokens=len(prefill_tokens),
+                completion_tokens=n_gen,
+                total_tokens=len(prefill_tokens) + n_gen))
         stream_q.put_nowait(f"data: {final.model_dump_json()}\n\n")
         stream_q.put_nowait("data: [DONE]\n\n")
         stream_q.put_nowait(None)

@@ -69,6 +69,7 @@ async def one_stream(session, url, args, stats, idx, max_tokens):
     }
     first = last = None
     n = 0
+    usage_ct = None
     t_start = time.time()
     pending = b""
     try:
@@ -83,7 +84,19 @@ async def one_stream(session, url, args, stats, idx, max_tokens):
                 pending += chunk
                 lines = pending.split(b"\n")
                 pending = lines.pop()
-                k = sum(1 for l in lines if l.startswith(b"data: {"))
+                k = 0
+                for l in lines:
+                    if l.startswith(b"data: {"):
+                        k += 1
+                        if b'"completion_tokens"' in l:
+                            # terminal frame: server-counted usage — the
+                            # authoritative token total (frames undercount:
+                            # think-tag routing merges token runs)
+                            try:
+                                u = json.loads(l[6:]).get("usage") or {}
+                                usage_ct = u.get("completion_tokens")
+                            except Exception:  # noqa: BLE001
+                                pass
                 if not k:
                     continue
                 if first is None:
@@ -97,6 +110,8 @@ async def one_stream(session, url, args, stats, idx, max_tokens):
         stats["errors"] += 1
         if stats["errors"] <= 3:
             print(f"[{idx}] error: {exc}", file=sys.stderr)
+    if usage_ct:
+        stats["usage_tokens"] += usage_ct
     if n > 1 and last is not None and last > first:
         stats["tpot"][idx] = (last - first) / (n - 1)
     stats["done"] += 1
@@ -105,7 +120,7 @@ async def one_stream(session, url, args, stats, idx, max_tokens):
 
 async def run_load(url, args):
     stats = {"tokens": 0, "done": 0, "errors": 0, "tpot": {}, "ttft": [],
-             "times": []}
+             "times": [], "usage_tokens": 0}
     conn = aiohttp.TCPConnector(limit=args.concurrency + 10)
     async with aiohttp.ClientSession(connector=conn) as session:
         # warmup: compiles every serving program — the decode block via a
@@ -173,10 +188,18 @@ async def run_load(url, args):
     ttfts = sorted(stats["ttft"])
     # The client counts SSE CONTENT FRAMES; the think-tag parser merges each
     # coalesced block's token texts into state runs, so frames undercount
-    # tokens by ~20% at full batch. With ignore_eos and no errors the true
-    # total is exactly concurrency x max_tokens — scale the frame rates.
+    # tokens by ~20% at full batch. The server's terminal usage frames give
+    # the MEASURED token total (correction-free); the old inferred
+    # expected-total scale (exact under ignore_eos) is kept as fallback and
+    # cross-check.
+    usage_total = stats["usage_tokens"]
     expected = args.concurrency * args.max_tokens
-    scale = expected / total if (total and stats["errors"] == 0) else 1.0
+    if usage_total and total:
+        scale, scale_basis = usage_total / total, "server_usage"
+    elif total and stats["errors"] == 0:
+        scale, scale_basis = expected / total, "expected_total"
+    else:
+        scale, scale_basis = 1.0, "none"
     # steady-state rate: tokens/s over the mid-half of the token stream
     # (25th..75th percentile timestamps) — excludes the admission ramp and
     # the drain tail, the window where all streams are decoding together
@@ -193,6 +216,8 @@ async def run_load(url, args):
         "aggregate_tok_s": round(total / dt * scale, 1),
         "steady_tok_s": steady,
         "frame_to_token_scale": round(scale, 3),
+        "scale_basis": scale_basis,
+        "usage_tokens": usage_total or None,
         "tok_s_per_request": round(total / dt * scale / args.concurrency, 2),
         "mean_tpot_ms": round(1000 * sum(tpots) / max(len(tpots), 1)
                               / scale, 1),

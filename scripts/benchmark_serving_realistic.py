@@ -119,6 +119,16 @@ async def one_request(session, url, prompt, max_tokens, events, t_arrive,
                 if not line.startswith("data: ") or line == "data: [DONE]":
                     continue
                 now = time.time()
+                if '"completion_tokens"' in line:
+                    # terminal frame: server-counted usage — authoritative
+                    # (frames undercount ~1.2x: think-tag run merging)
+                    try:
+                        u = json.loads(line[6:]).get("usage") or {}
+                        if u.get("completion_tokens"):
+                            events.append(("usage", now,
+                                           u["completion_tokens"]))
+                    except Exception:  # noqa: BLE001
+                        pass
                 if last is None:
                     events.append(("ttft", now, now - t_arrive))
                 else:
@@ -191,6 +201,13 @@ async def run_phase(url, args, load, rng):
     errs = [e for e in events if e[0] == "err"]
     dropped = sum(1 for e in events if e[0] == "dropped")
     done = [e[2] for e in events if e[0] == "done"]
+    usage_total = sum(e[2] for e in events if e[0] == "usage")
+    frames_total = sum(done)
+    # server-counted usage is the authoritative token total; scale the
+    # frame-based window rate by the measured frames->tokens ratio
+    # (correction-free: measured from the server's own terminal frames)
+    scale = (usage_total / frames_total) if (usage_total and frames_total) \
+        else 1.0
     d_hits = (cache1.get("hits", 0) - cache0.get("hits", 0))
     d_miss = (cache1.get("misses", 0) - cache0.get("misses", 0))
     return {
@@ -200,8 +217,11 @@ async def run_phase(url, args, load, rng):
         "completed": len(done),
         "errors": len(errs),
         "shed": dropped,
-        "sustained_tok_s": round(len(toks_w) / max(w1 - w0, 1e-9), 1),
-        "total_tokens": sum(done),
+        "sustained_tok_s": round(
+            len(toks_w) / max(w1 - w0, 1e-9) * scale, 1),
+        "total_tokens": usage_total or frames_total,
+        "total_frames": frames_total,
+        "frame_to_token_scale": round(scale, 3),
         "tpot_p50_ms": None if not tpot else round(
             1000 * percentile(tpot, 0.5), 1),
         "tpot_p99_ms": None if not tpot else round(

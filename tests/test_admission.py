@@ -1,0 +1,98 @@
+"""Admission-cap policy unit tests (worker._fill_slots in isolation).
+
+Only SEQ_PREFILL-bound admissions consume `max_prefill_count`: the cap
+exists to bound the compact bulk-prefill program's rows
+(serving.prefill_slots), while short prompts land in ONE_PREFILL/DECODE and
+ride the decode block at zero extra device cost. The reference charges EVERY
+admission against the cap (chirrup/worker.py:570-580), which made 384
+simultaneous ~10-token arrivals admit in ~12 waves (round-4 VERDICT: tiny-
+prompt cold-burst TTFT p50 12 s — an admission artifact, not physics).
+"""
+
+import queue
+
+from chirrup_tpu.engine.worker import Worker, SlotPhase
+from chirrup_tpu.engine.structures import Task
+
+
+class _StubModel:
+    """Just enough ServingModel surface for _fill_slots' simple path."""
+
+    prefill_slots = 32
+
+    def insert_slots_batched(self, carry, mask, tasks):
+        return carry
+
+
+def _task(n_tokens, out_q):
+    return Task(output_queue=out_q, task_event_queue=queue.Queue(),
+                prompt_str="x", prefill_tokens=list(range(1, n_tokens + 1)),
+                state=None)
+
+
+def _worker(batch_size=8):
+    w = Worker("w0", model_factory=lambda: (None, None),
+               task_queue=queue.Queue(), master_event_queue=queue.Queue(),
+               worker_event_queue=queue.Queue(), batch_size=batch_size)
+    w.model = _StubModel()
+    w.tokenizer = None
+    w.carry = object()
+    return w
+
+
+def _phases(w):
+    return [s.phase for s in w.slots]
+
+
+def test_short_prompts_not_charged_against_prefill_cap():
+    w = _worker(8)
+    assert w.max_prefill_count == 1  # 8 * 0.125
+    out = queue.Queue()
+    w.task_queue.put(_task(40, out))       # SEQ_PREFILL-bound (39 >= 10 left)
+    for _ in range(6):
+        w.task_queue.put(_task(3, out))    # ONE_PREFILL-bound (2 < 10 left)
+    w._fill_slots()
+    ph = _phases(w)
+    assert ph.count(SlotPhase.SEQ_PREFILL) == 1
+    # every short prompt admitted in the SAME wave, despite the cap of 1
+    assert sum(p in (SlotPhase.ONE_PREFILL, SlotPhase.DECODE) for p in ph) == 6
+    assert not w._deferred_tasks
+
+
+def test_over_cap_long_prompts_defer_without_blocking_shorts():
+    w = _worker(8)
+    out = queue.Queue()
+    w.task_queue.put(_task(40, out))
+    w.task_queue.put(_task(40, out))       # second long: over the cap of 1
+    for _ in range(3):
+        w.task_queue.put(_task(3, out))    # behind it in the queue
+    w._fill_slots()
+    ph = _phases(w)
+    assert ph.count(SlotPhase.SEQ_PREFILL) == 1
+    # the over-cap long did NOT head-of-line-block the shorts behind it
+    assert sum(p in (SlotPhase.ONE_PREFILL, SlotPhase.DECODE) for p in ph) == 3
+    assert len(w._deferred_tasks) == 1
+    assert len(w._deferred_tasks[0].prefill_tokens) == 40  # untouched
+
+    # once the in-flight bulk prefill finishes, the deferred long admits
+    # first (front of the line)
+    for s in w.slots:
+        if s.phase == SlotPhase.SEQ_PREFILL:
+            s.phase = SlotPhase.DECODE
+    w._fill_slots()
+    assert _phases(w).count(SlotPhase.SEQ_PREFILL) == 1
+    assert not w._deferred_tasks
+
+
+def test_cap_still_bounds_bulk_prefills():
+    """The cap still applies to what it exists for: concurrent bulk prefills
+    never exceed max_prefill_count (the compact program's row budget)."""
+    w = _worker(32)
+    assert w.max_prefill_count == 4
+    out = queue.Queue()
+    for _ in range(10):
+        w.task_queue.put(_task(40, out))
+    w._fill_slots()
+    ph = _phases(w)
+    assert ph.count(SlotPhase.SEQ_PREFILL) == 4
+    assert len(w._deferred_tasks) == 6

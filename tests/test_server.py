@@ -103,7 +103,15 @@ def test_chat_completion_stream_sse(server_setup):
     assert lines[-1] == "data: [DONE]"
     payloads = [json.loads(l[6:]) for l in lines[:-1]]
     assert all(p["object"] == "chat.completion.chunk" for p in payloads)
-    assert payloads[-1]["choices"][0]["finish_reason"] == "stop"
+    final = payloads[-1]
+    # terminal frame: real finish reason + server-counted usage (clients
+    # count tokens from this, not from frames — think-tag run merging)
+    assert final["choices"][0]["finish_reason"] in ("stop", "length")
+    usage = final["usage"]
+    assert 1 <= usage["completion_tokens"] <= 6
+    assert usage["total_tokens"] == (usage["prompt_tokens"]
+                                     + usage["completion_tokens"])
+    assert all(p["usage"] is None for p in payloads[:-1])
 
 
 def test_state_cache_population_and_reuse(server_setup):
