@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import asyncio
 import queue
+import time
 from typing import Any, List, Optional, Sequence
 
 from chirrup_tpu.engine.structures import (
@@ -73,6 +74,7 @@ class AsyncEngineCompletion:
 
     def start(self):
         self._submitted = True
+        self.task.timing["enqueue"] = time.time()
         self._task_queue.put_nowait(self.task)
 
     def __aiter__(self):

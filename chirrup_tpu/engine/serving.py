@@ -610,6 +610,72 @@ class ServingModel:
                 forbid_local,
                 in_specs=(P(bax, "tp"), P(bax), P(bax), P(bax, "tp")),
                 out_specs=P(bax, "tp"))
+
+            # ---- lockstep COMPACT prefill: FIXED (n_dp*P_loc, T) program.
+            # Only program SHAPES must match across hosts; the dp-sharded
+            # tokens/lengths/slot_idx carry HOST-LOCAL data (slot_idx values
+            # are local row offsets, exactly like the pool/extract programs
+            # above), so each host chunk-prefills its own compact row set —
+            # lifting lockstep serving off the 6.5x-slower full-B masked
+            # chunk (the round-3 single-host win, now host-local).
+            n_dp = int(mesh.shape["dp"])
+            B_loc = batch_size // n_dp if batch_sharded_dp else batch_size
+            self.lockstep_prefill_rows = min(self.prefill_slots, B_loc)
+            self.lockstep_prefill_b_loc = B_loc
+
+            def prefill_compact_local(p, tokens, shift, wkv, elapsed,
+                                      lengths, slot_idx):
+                L, _, Bl, C = shift.shape
+                N, HNl = wkv.shape[2], wkv.shape[3]
+                dsl = jax.lax.dynamic_slice
+                dus = jax.lax.dynamic_update_slice
+                Pl = slot_idx.shape[0]
+
+                def gather_body(i, acc):
+                    sh_acc, wk_acc = acc
+                    s = slot_idx[i]
+                    sh_acc = dus(sh_acc,
+                                 dsl(shift, (0, 0, s, 0), (L, 2, 1, C)),
+                                 (0, 0, i, 0))
+                    wk_acc = dus(wk_acc,
+                                 dsl(wkv, (0, s, 0, 0), (L, 1, N, HNl)),
+                                 (0, i, 0, 0))
+                    return sh_acc, wk_acc
+
+                sh_c, wk_c = jax.lax.fori_loop(
+                    0, Pl, gather_body,
+                    (jnp.zeros((L, 2, Pl, C), shift.dtype),
+                     jnp.zeros((L, Pl, N, HNl), wkv.dtype)))
+                el_c = jnp.take(elapsed, slot_idx, axis=0)
+                ns = model.forward_chunk(
+                    p, tokens, RWKVState(shift=sh_c, wkv=wk_c, elapsed=el_c),
+                    lengths, wkv_fn=raw_wkv, compute_dtype=compute_dtype,
+                    reduce_fn=psum_tp, nh_layout=self._nh_layout)
+                n_sh = ns.shift.astype(shift.dtype)
+                n_wk = ns.wkv.astype(wkv.dtype)
+
+                def scatter_body(i, acc):
+                    sh_full, wk_full = acc
+                    s = slot_idx[i]
+                    sh_full = dus(sh_full,
+                                  dsl(n_sh, (0, 0, i, 0), (L, 2, 1, C)),
+                                  (0, 0, s, 0))
+                    wk_full = dus(wk_full,
+                                  dsl(n_wk, (0, i, 0, 0), (L, 1, N, HNl)),
+                                  (0, s, 0, 0))
+                    return sh_full, wk_full
+
+                sh_full, wk_full = jax.lax.fori_loop(
+                    0, Pl, scatter_body, (shift, wkv))
+                el_full = elapsed.at[slot_idx].set(ns.elapsed)
+                return sh_full, wk_full, el_full
+
+            self._prefill_compact_lockstep_sharded = smap(
+                prefill_compact_local,
+                in_specs=(param_specs, P(bax, None), st_shift, st_wkv, vec,
+                          P(bax), P(bax)),
+                out_specs=(st_shift, st_wkv, vec))
+
             # shutdown votes MUST be dp-sharded: each host's array holds only
             # its own rows' votes; if GSPMD treated the host-local np input as
             # replicated, hosts would observe DIVERGENT "replicated" sums (the
@@ -654,6 +720,8 @@ class ServingModel:
                 self._pool_load_lockstep_impl, donate_argnums=(0,))
             self._set_forbidden_jit = jax.jit(
                 self._set_forbidden_lockstep_impl, donate_argnums=(0,))
+            self._prefill_compact_lockstep = jax.jit(
+                self._prefill_compact_lockstep_impl, donate_argnums=(1,))
 
     def _apply_op_settings(self):
         """Re-apply this model's trace-time op settings (mm8 core + pallas
@@ -1308,6 +1376,27 @@ class ServingModel:
             pool_rows, slot_rows, mask)
         return dataclasses.replace(
             carry, state=RWKVState(shift=n_sh, wkv=n_wk, elapsed=n_el))
+
+    def _prefill_compact_lockstep_impl(self, params, carry: BatchCarry,
+                                       tokens, lengths, slot_idx):
+        st = carry.state
+        n_sh, n_wk, n_el = self._prefill_compact_lockstep_sharded(
+            params, tokens, st.shift, st.wkv, st.elapsed, lengths, slot_idx)
+        return dataclasses.replace(
+            carry, state=RWKVState(shift=n_sh, wkv=n_wk, elapsed=n_el))
+
+    def prefill_step_compact_lockstep(self, carry, tokens, lengths, slot_idx):
+        """FIXED-(n_dp*P_loc, T) lockstep chunk prefill: every host calls
+        this on the same cadence with the same shapes; slot_idx VALUES are
+        HOST-LOCAL row offsets (unique per shard; length-0 rows must point
+        at distinct idle local slots — state passes through bit-unchanged,
+        as in prefill_step_compact). P_loc = self.lockstep_prefill_rows."""
+        self._apply_op_settings()
+        return self._prefill_compact_lockstep(
+            self.params, carry,
+            self._place_rows("tokens", np.asarray(tokens, np.int32)),
+            self._place_rows("idx", np.asarray(lengths, np.int32)),
+            self._place_rows("idx", np.asarray(slot_idx, np.int32)))
 
     def pool_store_lockstep(self, carry, pool, slot_rows, pool_rows, mask):
         """FIXED-shape lockstep snapshot: slot -> pool row per dp shard

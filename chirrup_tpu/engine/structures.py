@@ -270,6 +270,11 @@ class Task:
         init=False, default=RequestStatus.WAITING)
     generated_tokens: List[int] = dataclasses.field(init=False, default_factory=list)
     decoded_texts: List[str] = dataclasses.field(init=False, default_factory=list)
+    # TTFT attribution timestamps (time.time()): "enqueue" (interface submit),
+    # "admit" (worker slot fill), "first_token" (first sampled token read) —
+    # lets /metrics decompose the TTFT tail into queue-wait vs prefill+decode
+    timing: Dict[str, float] = dataclasses.field(init=False,
+                                                 default_factory=dict)
 
     def __post_init__(self):
         if self.task_id is None:

@@ -246,6 +246,14 @@ class Worker:
                 self.carry = m.prefill_step_compact(
                     self.carry, np.zeros((P, T), np.int32),
                     np.zeros((P,), np.int32), np.arange(P, dtype=np.int32))
+        elif getattr(m, "lockstep_prefill_rows", 0):
+            # the FIXED compact lockstep chunk (pad rows 0..P-1, all len 0)
+            n_rows = m.lockstep_n_dp * m.lockstep_prefill_rows
+            self.carry = m.prefill_step_compact_lockstep(
+                self.carry, np.zeros((n_rows, m.prefill_chunk), np.int32),
+                np.zeros((n_rows,), np.int32),
+                np.tile(np.arange(m.lockstep_prefill_rows, dtype=np.int32),
+                        m.lockstep_n_dp))
         else:
             self.carry = m.prefill_step(
                 self.carry, np.zeros((B, m.prefill_chunk), np.int32),
@@ -618,6 +626,7 @@ class Worker:
             else:
                 phase = SlotPhase.SEQ_PREFILL
 
+            task.timing["admit"] = time.time()
             self.slots[idx] = SlotData(
                 task=task, phase=phase, next_input=next_input,
                 decoder=StreamingDecoder(self.tokenizer))
@@ -703,6 +712,7 @@ class Worker:
             phase = SlotPhase.ONE_PREFILL
         else:
             phase = SlotPhase.SEQ_PREFILL
+        task.timing["admit"] = time.time()
         self.slots[idx] = SlotData(
             task=task, phase=phase, next_input=next_input,
             decoder=StreamingDecoder(self.tokenizer))
@@ -976,6 +986,8 @@ class Worker:
                     from chirrup_tpu.engine.serving import _host_row
                     block_logits = _host_row(pending.marked_logits, 1, row)
             emitted: List[Tuple[int, str]] = []
+            if not task.generated_tokens:
+                t_first = time.time()  # stamped only if this block emits
             for k in range(sampled_np.shape[0]):
                 new_token = int(sampled_np[k, idx])
                 if new_token < 0:
@@ -984,6 +996,8 @@ class Worker:
                     task.request_status = RequestStatus.FINISHED_STOPPED
                     break
                 new_text = slot.decoder.push(new_token)
+                if not task.generated_tokens:
+                    task.timing.setdefault("first_token", t_first)
                 task.generated_tokens.append(new_token)
                 task.decoded_texts.append(new_text)
                 if task.return_logits and block_logits is not None:
@@ -1034,6 +1048,8 @@ class Worker:
         seq_ids = [idx for idx, slot in enumerate(self.slots)
                    if slot.phase == SlotPhase.SEQ_PREFILL
                    and len(slot.task.prefill_tokens) - slot.pad() > 0]
+        if self.lockstep and getattr(self.model, "lockstep_prefill_rows", 0):
+            return self._run_prefill_lockstep_compact(seq_ids)
         variants = getattr(self.model, "prefill_variants", None)
         compact = (not self.lockstep and variants
                    and any(len(seq_ids) <= P < self.batch_size
@@ -1086,6 +1102,60 @@ class Worker:
         # lockstep: the (all-zero-lengths) call still runs — fixed sequence
         self.carry = self.model.prefill_step(self.carry, tokens, lengths)
         return len(fed)
+
+    def _run_prefill_lockstep_compact(self, seq_ids):
+        """FIXED-(n_dp*P_loc, T) compact chunk for lockstep: every host
+        dispatches this exactly once per prefill cadence — program shapes
+        (and launch sequences) are host-identical while the dp-sharded
+        tokens/lengths/slot_idx carry HOST-LOCAL data, so each host
+        prefills its own compact row set. Replaces the 6.5x-slower full-B
+        masked chunk lockstep used through round 4 (round-4 VERDICT item 5).
+        Single-process multi-shard meshes (the dp=8 dryrun case) fill every
+        shard's block from this one worker."""
+        m = self.model
+        P_loc = m.lockstep_prefill_rows
+        B_loc = m.lockstep_prefill_b_loc
+        n_dp = m.lockstep_n_dp
+        T = m.prefill_chunk
+        # at most P_loc rows per dp shard this chunk (the admission cap
+        # already bounds concurrent bulk prefills; overflow rows simply
+        # wait for the next cadence)
+        per_shard: Dict[int, List[int]] = {}
+        for idx in seq_ids:
+            rows = per_shard.setdefault(idx // B_loc, [])
+            if len(rows) < P_loc:
+                rows.append(idx)
+        tokens = np.zeros((n_dp * P_loc, T), np.int32)
+        lengths = np.zeros((n_dp * P_loc,), np.int32)
+        slot_idx = np.zeros((n_dp * P_loc,), np.int32)
+        fed = 0
+        for shard in range(n_dp):
+            base = shard * P_loc
+            chosen = per_shard.get(shard, [])
+            used = {i - shard * B_loc for i in chosen}
+            # pad rows point at DISTINCT idle LOCAL slots (length-0 rows
+            # pass state through bit-unchanged)
+            spare = (i for i in range(B_loc) if i not in used)
+            for row in range(P_loc):
+                if row < len(chosen):
+                    idx = chosen[row]
+                    slot = self.slots[idx]
+                    task = slot.task
+                    avail = len(task.prefill_tokens) - slot.pad()
+                    n = min(T, avail)
+                    chunk = [slot.next_input] + task.prefill_tokens[:n - 1]
+                    task.prefill_tokens = task.prefill_tokens[n - 1:]
+                    slot.next_input = task.prefill_tokens.pop(0)
+                    slot.prefilled_tokens.extend(chunk)
+                    tokens[base + row, :len(chunk)] = chunk
+                    lengths[base + row] = len(chunk)
+                    slot_idx[base + row] = idx - shard * B_loc
+                    fed += 1
+                else:
+                    slot_idx[base + row] = next(spare)
+        self.carry = m.prefill_step_compact_lockstep(
+            self.carry, tokens, lengths, slot_idx)
+        return fed
 
     # ------------------------------------------------------------------- loop
 

@@ -153,6 +153,7 @@ def lockstep_row_shardings(mesh: Mesh, batch_sharded: bool = False):
         "wkv": _ns(mesh, b, None, None, "tp"),     # (n_dp, L, N, HN)
         "elapsed": _ns(mesh, b),
         "bias": _ns(mesh, b, "tp"),                # (n_dp, V) forbidden bias
+        "tokens": _ns(mesh, b, None),              # (n_dp*P, T) compact prefill
     }
 
 

@@ -17,6 +17,7 @@ import os
 import time
 import traceback
 import uuid
+from collections import deque
 from typing import Any, Dict, List, Optional
 
 from aiohttp import web
@@ -119,9 +120,39 @@ async def handle_metrics(request: web.Request) -> web.Response:
     body = {
         "workers": dict(app.get("worker_perf", {})),
         "state_cache": None if cache is None else cache.stats(),
+        "ttft_breakdown": _ttft_breakdown(app),
         "timestamp": time.time(),
     }
     return web.json_response(body)
+
+
+def _ttft_breakdown(app):
+    """Percentiles of the TTFT components over the last completed requests
+    (queue_wait = enqueue->admit; compute_wait = admit->first token, i.e.
+    prefill + first decode block): the attribution surface for the tail
+    (round-4 VERDICT: p99 TTFT was 5.5x p50 at HALF load with no account)."""
+    samples = app.get("ttft_samples")
+    if not samples:
+        return None
+
+    def pct(xs, p):
+        xs = sorted(xs)
+        return round(xs[min(int(len(xs) * p), len(xs) - 1)], 3)
+
+    qw = [s[0] for s in samples]
+    cw = [s[1] for s in samples]
+    return {
+        "n": len(samples),
+        "queue_wait_p50_s": pct(qw, 0.5), "queue_wait_p99_s": pct(qw, 0.99),
+        "compute_wait_p50_s": pct(cw, 0.5), "compute_wait_p99_s": pct(cw, 0.99),
+    }
+
+
+def _record_ttft(app, task):
+    t = task.timing
+    if "enqueue" in t and "admit" in t and "first_token" in t:
+        app["ttft_samples"].append((t["admit"] - t["enqueue"],
+                                    t["first_token"] - t["admit"]))
 
 
 async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
@@ -279,6 +310,7 @@ async def _stream_chat(request, completion: AsyncEngineCompletion,
         except Exception as exc:  # noqa: BLE001
             stream_q.put_nowait(
                 f"data: {json.dumps(_error_json(str(exc), 'internal_error'))}\n\n")
+        _record_ttft(request.app, completion.task)
         # terminal frame: finish_reason + server-counted usage. The client
         # can count tokens from THIS instead of counting frames (think-tag
         # run merging makes frames undercount tokens ~1.2x — the round-4
@@ -349,6 +381,7 @@ async def _non_stream_chat(request, completion: AsyncEngineCompletion,
             elif event[0] == "cache_prefill":
                 await _cache_event(state_cache, event[1])
 
+        _record_ttft(request.app, completion.task)
         completion_tokens = len(completion.task.generated_tokens)
         body = ChatCompletionResponse(
             id=completion_id, created=created, model=req.model,
@@ -538,6 +571,7 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
     ]
 
     app["worker_perf"] = {}
+    app["ttft_samples"] = deque(maxlen=2048)  # (queue_wait, compute_wait)
 
     async def _perf_collector(app_):
         async for worker_id, payload in app_["engine"].iter_worker_performance():

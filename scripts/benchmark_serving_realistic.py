@@ -192,6 +192,12 @@ async def run_phase(url, args, load, rng):
         if tasks:
             await asyncio.wait(tasks, timeout=600)
         cache1 = await fetch_cache_stats(session, url)
+        ttft_srv = None
+        try:
+            async with session.get(f"{url}/metrics") as r:
+                ttft_srv = (await r.json()).get("ttft_breakdown")
+        except Exception:  # noqa: BLE001
+            pass
 
     # steady-state window: exclude the first 20% and last 5% of the phase
     w0, w1 = t0 + 0.2 * duration, t0 + 0.95 * duration
@@ -232,6 +238,9 @@ async def run_phase(url, args, load, rng):
             d_hits / (d_hits + d_miss), 3),
         "cache_tokens_saved": (cache1.get("tokens_saved", 0)
                                - cache0.get("tokens_saved", 0)),
+        # server-side TTFT attribution (queue-wait vs prefill+first-block),
+        # rolling over the last completions — the tail's composition
+        "ttft_breakdown": ttft_srv,
     }
 
 

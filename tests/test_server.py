@@ -321,3 +321,9 @@ def test_metrics_endpoint(server_setup):
     if body["workers"]:
         perf = next(iter(body["workers"].values()))
         assert "avg_loop_time" in perf and "task_details" in perf
+    # TTFT attribution: the completed request above must have recorded a
+    # (queue_wait, compute_wait) sample with sane values
+    bd = body["ttft_breakdown"]
+    assert bd is not None and bd["n"] >= 1
+    assert 0 <= bd["queue_wait_p50_s"] < 60
+    assert 0 <= bd["compute_wait_p50_s"] < 60
