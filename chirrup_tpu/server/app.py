@@ -586,6 +586,8 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
                                batch_size=config.batch_size,
                                model_factory=model_factory,
                                state_pool_size=config.state_cache_size,
+                               decode_block_size=(config.decode_block_size
+                                                  or None),
                                warmup_programs=True)
             except Exception:  # noqa: BLE001 — a server whose model failed
                 # to load must DIE, not keep its socket open: aiohttp keeps

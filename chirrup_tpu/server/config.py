@@ -33,6 +33,10 @@ class ServerConfig:
     wkv_state_dtype: str = "bfloat16"    # float32 | bfloat16
     activation_dtype: str = "bfloat16"
     prefill_chunk: int = 64
+    # decode-block steps per dispatch (0 = worker default: 16 on TPU, 1 on
+    # CPU). Bigger blocks amortize the worker loop's host overhead (~85 ms
+    # per block at 384 streams) at the cost of stop-token overshoot latency
+    decode_block_size: int = 0
     tensor_parallel: int = 1
     # 0/1 flag (int keeps the argparse/env auto-parser simple): lockstep
     # multi-host SPMD serving — requires jax.distributed.initialize on every
@@ -50,14 +54,18 @@ class ServerConfig:
 PROFILES = {
     # 7.2B (L32/C4096) INT8 on one TPU v5e chip — the docs/PERF.md headline
     # config: batch 384 is the measured throughput knee (8.1k tok/s aggregate
-    # in-process, 20 tok/s/request), 16-step decode blocks (worker default on
-    # TPU), bf16 activations + bf16 WKV state, 16-row HBM state pool
-    # (~0.27 GB, see below) beside 7.4 GB weights + 6.5 GB request state.
+    # in-process, ~21 tok/s/request), bf16 activations + bf16 WKV state,
+    # 16-row HBM state pool (~0.27 GB, see below) beside 7.4 GB weights +
+    # 6.5 GB request state.
     "v5e-7b2": {
         "batch_size": 384,
         # 16 HBM pool rows (~0.27 GB): B=384 leaves ~1 GB of HBM after
         # weights + request state; 50 rows fit the B<=256 configs
         "state_cache_size": 16,
+        # round-5 K sweep over live HTTP at 384 streams (PERF.md §round-5
+        # serving): K=16 -> 89.3% of in-process, burst TTFT p50 3.0 s;
+        # K=24 -> 90.1%, 4.0 s; K=32 -> 94.0%, 5.2 s. 24 clears both bars
+        "decode_block_size": 24,
         "quantization": "int8",
         "wkv_state_dtype": "bfloat16",
         "activation_dtype": "bfloat16",

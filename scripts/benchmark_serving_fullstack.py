@@ -242,6 +242,8 @@ def main():
     ap.add_argument("--no-spawn", action="store_true",
                     help="benchmark an already-running server at --port")
     ap.add_argument("--state_cache_size", type=int, default=50)
+    ap.add_argument("--decode_block_size", type=int, default=0,
+                    help="server decode-block steps (0 = worker default)")
     ap.add_argument("--prompt_words", type=int, default=0,
                     help="pad prompts to ~this many words (cold-burst TTFT)")
     ap.add_argument("--shared_prompts", action="store_true",
@@ -270,6 +272,8 @@ def main():
                "--state_cache_size", str(args.state_cache_size),
                "--port", str(args.port),
                "--host", "127.0.0.1"]
+        if args.decode_block_size:
+            cmd += ["--decode_block_size", str(args.decode_block_size)]
         env = dict(os.environ)
         if args.tiny:
             env["JAX_PLATFORMS"] = "cpu"

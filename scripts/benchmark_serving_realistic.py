@@ -310,6 +310,10 @@ def main():
                "--vocab_path", VOCAB,
                "--batch_size", str(args.batch),
                "--port", str(args.port), "--host", "127.0.0.1"]
+        if not args.tiny:
+            # the measured v5e-7b2 pool size (50 rows don't fit beside
+            # B=384 request state — server/config.py PROFILES)
+            cmd += ["--state_cache_size", "16"]
         env = dict(os.environ)
         if args.tiny:
             env["JAX_PLATFORMS"] = "cpu"
