@@ -141,10 +141,14 @@ def _ttft_breakdown(app):
 
     qw = [s[0] for s in samples]
     cw = [s[1] for s in samples]
+    dw = [s[2] for s in samples]
     return {
         "n": len(samples),
         "queue_wait_p50_s": pct(qw, 0.5), "queue_wait_p99_s": pct(qw, 0.99),
         "compute_wait_p50_s": pct(cw, 0.5), "compute_wait_p99_s": pct(cw, 0.99),
+        # pre-enqueue dedup-follower wait (check_and_wait_prefill blocks
+        # until the identical in-flight prompt's snapshot lands)
+        "dedup_wait_p50_s": pct(dw, 0.5), "dedup_wait_p99_s": pct(dw, 0.99),
     }
 
 
@@ -152,7 +156,8 @@ def _record_ttft(app, task):
     t = task.timing
     if "enqueue" in t and "admit" in t and "first_token" in t:
         app["ttft_samples"].append((t["admit"] - t["enqueue"],
-                                    t["first_token"] - t["admit"]))
+                                    t["first_token"] - t["admit"],
+                                    t.get("cache_wait", 0.0)))
 
 
 async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
@@ -179,11 +184,17 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
     will_cache = (config.state_cache_size > 0 and req.cache_prefill
                   and state_cache is not None)
     claim = None  # prefill-leader claim (node, condition); MUST be released
+    cache_wait = 0.0
     if req.use_state_cache and state_cache is not None:
+        t_cw = time.time()
         real_prefill_tokens, state, _cached, claim = \
             await state_cache.check_and_wait_prefill(
                 prefill_tokens, cache_prefill_padding, return_claim=True,
                 can_lead=will_cache)
+        # dedup followers BLOCK here until the leader's snapshot lands —
+        # this wait precedes task submission, so it is invisible to the
+        # worker-side timing; record it for the TTFT attribution
+        cache_wait = time.time() - t_cw
         if state is not None and hasattr(state, "try_acquire"):
             # device-pool handle: hold a reference for this in-flight resume
             # so LRU eviction cannot recycle the HBM row under the request
@@ -213,9 +224,16 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
             penalty_decay=req.penalty_decay,
             stop_tokens=(set() if req.ignore_eos
                          else set(DEFAULT_STOP_TOKENS) | set(stop_tokens)),
-            cache_prefill=will_cache,
+            # snapshot ONLY as the prefill LEADER of this prefix (or when
+            # the client opted out of the cache lookup entirely): a repeat
+            # prompt whose boundary is already cached re-snapshotting it
+            # churned the fixed HBM pool for zero new information — at 0.8x
+            # Poisson load the 16-row pool thrashed to a 0% hit rate
+            cache_prefill=will_cache and (claim is not None
+                                          or not req.use_state_cache),
             cache_prefill_padding=cache_prefill_padding,
         )
+        completion.task.timing["cache_wait"] = cache_wait
         if req.stream:
             return await _stream_chat(request, completion, req, state_cache,
                                       prefill_tokens)

@@ -144,6 +144,16 @@ async def one_request(session, url, prompt, max_tokens, events, t_arrive,
     return n
 
 
+async def fetch_pool_counters(session, url):
+    try:
+        async with session.get(f"{url}/metrics") as r:
+            w = ((await r.json()).get("workers") or {}).values()
+        return (sum(x.get("snapshot_skips", 0) for x in w),
+                sum(x.get("snapshot_evictions", 0) for x in w))
+    except Exception:  # noqa: BLE001
+        return 0, 0
+
+
 def percentile(xs, p):
     if not xs:
         return None
@@ -164,6 +174,7 @@ async def run_phase(url, args, load, rng):
     conn = aiohttp.TCPConnector(limit=args.max_inflight + 10)
     async with aiohttp.ClientSession(connector=conn) as session:
         cache0 = await fetch_cache_stats(session, url)
+        skips0, evicts0 = await fetch_pool_counters(session, url)
         t0 = time.time()
         i = 0
         while time.time() - t0 < duration:
@@ -192,6 +203,7 @@ async def run_phase(url, args, load, rng):
         if tasks:
             await asyncio.wait(tasks, timeout=600)
         cache1 = await fetch_cache_stats(session, url)
+        skips1, evicts1 = await fetch_pool_counters(session, url)
         ttft_srv = None
         try:
             async with session.get(f"{url}/metrics") as r:
@@ -241,6 +253,10 @@ async def run_phase(url, args, load, rng):
         # server-side TTFT attribution (queue-wait vs prefill+first-block),
         # rolling over the last completions — the tail's composition
         "ttft_breakdown": ttft_srv,
+        # HBM pool pressure: skips forfeit cache reuse; evictions recycle
+        # the cache's LRU row instead (round-4 VERDICT item 4)
+        "snapshot_skips": skips1 - skips0,
+        "snapshot_evictions": evicts1 - evicts0,
     }
 
 
