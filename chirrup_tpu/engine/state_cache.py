@@ -79,32 +79,51 @@ class PrefixStateCache:
     def check(self, tokens: List[int], return_trie_node: bool = False):
         """Longest cached proper prefix of `tokens`.
 
-        Returns (remaining_tokens, state_or_None, cached_len[, deepest_node])."""
-        node = self.root
-        best = 0
-        i = 0
-        while i < len(tokens):
-            if node.has_state:
-                best = i
-            child = node.children.get(tokens[i])
-            if child is None or (child.refcount == 0 and not child.prefill_condition):
-                break
-            node = child
-            i += 1
+        Returns (remaining_tokens, state_or_None, cached_len[, deepest_node]).
 
-        key = tuple(tokens[:best])
-        state = self._lru_get(key)
+        The walk RETRIES when the deepest entry turns out dead (a device-pool
+        row revoked by evict-on-exhaustion: _lru_get self-heals it to a miss
+        and prunes its trie path) — the re-walk then finds the next-shallower
+        cached prefix instead of reporting a total miss, and the returned
+        node matches the re-walked depth (a stale deep node would graft
+        claim paths under a pruned branch). Each failed pass removes at
+        least one dead entry, so this terminates."""
+        while True:
+            node = self.root
+            best = 0
+            best_node = self.root
+            i = 0
+            while i < len(tokens):
+                if node.has_state:
+                    best = i
+                    best_node = node
+                child = node.children.get(tokens[i])
+                if child is None or (child.refcount == 0
+                                     and not child.prefill_condition):
+                    break
+                node = child
+                i += 1
+
+            state = self._lru_get(tuple(tokens[:best])) if best else None
+            if best == 0 or state is not None:
+                break
+
         if state is None:
             best = 0
-            state = None
+            best_node = self.root
             remaining = tokens
             self.misses += 1
         else:
             remaining = tokens[best:]
             self.hits += 1
             self.tokens_saved += best
+        # NOTE: the returned node is the node AT DEPTH `best` (root on a
+        # miss) — check_and_wait_prefill grafts the claim path
+        # tokens[best:eff] under it, so a walk-stop node deeper than (or
+        # diverged from) the cached prefix would graft a detached garbage
+        # path whose cache-event wake never finds the followers
         if return_trie_node:
-            return remaining, state, best, node
+            return remaining, state, best, best_node
         return remaining, state, best
 
     async def check_and_wait_prefill(self, tokens: List[int],

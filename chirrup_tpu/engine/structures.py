@@ -186,6 +186,10 @@ class PoolHandle:
         return self.refs > 0 and not self.revoked
 
     def acquire(self) -> "PoolHandle":
+        """Assert-on-death acquire — ONLY for paths where the handle is
+        provably alive (e.g. a ref already held). Anywhere that races with
+        worker-side evict-on-exhaustion (the app's resume path) must use
+        try_acquire instead."""
         with _POOL_HANDLE_LOCK:
             assert self.refs > 0 and not self.revoked, "acquire after free"
             self.refs += 1

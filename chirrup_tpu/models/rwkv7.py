@@ -230,7 +230,11 @@ def _tmix(att, li, layer_is_first, x, shift_prev, v_first, wkv_full, elapsed,
     fused_chunk = getattr(wkv_fn, "fused_chunk", None)
     if fused_chunk is not None and T > 1:
         # serving prefill: the whole TMix core (kk/k~ prologue, GroupNorm +
-        # bonus epilogue) rides the chunk WKV kernel
+        # bonus epilogue) rides the chunk WKV kernel.
+        # NOTE: deliberately mirrors the fused_step (T==1) branch above —
+        # edits to either branch's layout/param handling must land in BOTH
+        # (kept separate because the T==1 path strips the T axis from every
+        # operand; a unified branch would re-introduce per-call reshapes)
         # (ops/wkv7_pallas.wkv7_pallas_chunk_fused); k and a go in RAW. The
         # XLA-side (B,T,4096)<->(B,T,64,64) retiles around the kernel
         # disappear — under nh_layout both reshapes below are free

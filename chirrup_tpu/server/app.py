@@ -234,11 +234,18 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
             cache_prefill_padding=cache_prefill_padding,
         )
         completion.task.timing["cache_wait"] = cache_wait
+        # resumed-from-cache requests prefill only the SUFFIX; their
+        # snapshot events carry suffix-relative prefilled_tokens, so cache
+        # keys must re-prepend the resumed prefix (a suffix-only key would
+        # poison the cache: a later prompt that genuinely starts with the
+        # suffix would resume a state secretly containing the prefix)
+        resumed_prefix = tuple(
+            prefill_tokens[:len(prefill_tokens) - len(real_prefill_tokens)])
         if req.stream:
             return await _stream_chat(request, completion, req, state_cache,
-                                      prefill_tokens)
+                                      prefill_tokens, resumed_prefix)
         return await _non_stream_chat(request, completion, req, state_cache,
-                                      prefill_tokens)
+                                      prefill_tokens, resumed_prefix)
     finally:
         if claim is not None and state_cache is not None:
             # no-op on the happy path (the cache event already released it)
@@ -246,20 +253,25 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
             await state_cache.release_claim(claim)
 
 
-async def _cache_event(state_cache: PrefixStateCache, payload: Dict):
+async def _cache_event(state_cache: PrefixStateCache, payload: Dict,
+                       prefix: tuple = ()):
+    """Insert a worker snapshot into the prefix cache. `prefix` is the
+    resumed-from-cache prefix the worker never saw: snapshot payloads carry
+    only the tokens THIS request prefilled, so the cache key (and the
+    follower-wake node) is prefix + prefilled."""
     if state_cache is None:
         return
+    key = prefix + tuple(payload["prefilled_tokens"])
     if payload.get("state") is None:
         # snapshot SKIPPED (HBM pool exhausted): nothing to cache, but wake
         # the dedup followers NOW so they re-prefill immediately — without
         # this they wait out the leader's entire generation before learning
         # there is no snapshot to resume from
-        node = state_cache._find(tuple(payload["prefilled_tokens"]))
+        node = state_cache._find(key)
         if node is not None:
             await state_cache.awake_hang_up_prefills(node)
         return
-    node = state_cache.cache(payload["prefilled_tokens"], payload["state"],
-                             return_trie_node=True)
+    node = state_cache.cache(key, payload["state"], return_trie_node=True)
     await state_cache.awake_hang_up_prefills(node)
 
 
@@ -274,7 +286,8 @@ def _sse_response() -> web.StreamResponse:
 
 async def _stream_chat(request, completion: AsyncEngineCompletion,
                        req: ChatCompletionRequest,
-                       state_cache, prefill_tokens) -> web.StreamResponse:
+                       state_cache, prefill_tokens,
+                       cache_prefix: tuple = ()) -> web.StreamResponse:
     """SSE streaming with keep-alive comments (reference app.py:241-338)."""
     completion_id = f"chatcmpl-{uuid.uuid4().hex}"
     created = int(time.time())
@@ -324,7 +337,7 @@ async def _stream_chat(request, completion: AsyncEngineCompletion,
                     if frames:
                         stream_q.put_nowait("".join(frames))
                 elif event[0] == "cache_prefill":
-                    await _cache_event(state_cache, event[1])
+                    await _cache_event(state_cache, event[1], cache_prefix)
         except Exception as exc:  # noqa: BLE001
             stream_q.put_nowait(
                 f"data: {json.dumps(_error_json(str(exc), 'internal_error'))}\n\n")
@@ -372,7 +385,8 @@ async def _stream_chat(request, completion: AsyncEngineCompletion,
 
 async def _non_stream_chat(request, completion: AsyncEngineCompletion,
                            req: ChatCompletionRequest, state_cache,
-                           prefill_tokens: List[int]) -> web.StreamResponse:
+                           prefill_tokens: List[int],
+                           cache_prefix: tuple = ()) -> web.StreamResponse:
     """Non-streaming completion delivered over a chunked response so proxies keep
     the connection alive during generation (reference app.py:341-414)."""
     completion_id = f"chatcmpl-{uuid.uuid4().hex}"
@@ -397,7 +411,7 @@ async def _non_stream_chat(request, completion: AsyncEngineCompletion,
                     elif st == "reasoning_content":
                         reasoning.append(text)
             elif event[0] == "cache_prefill":
-                await _cache_event(state_cache, event[1])
+                await _cache_event(state_cache, event[1], cache_prefix)
 
         _record_ttft(request.app, completion.task)
         completion_tokens = len(completion.task.generated_tokens)
@@ -606,6 +620,7 @@ def create_app(config: ServerConfig, *, engine: Optional[AsyncEngineCore] = None
                                state_pool_size=config.state_cache_size,
                                decode_block_size=(config.decode_block_size
                                                   or None),
+                               load_timeout=config.load_timeout,
                                warmup_programs=True)
             except Exception:  # noqa: BLE001 — a server whose model failed
                 # to load must DIE, not keep its socket open: aiohttp keeps

@@ -43,6 +43,10 @@ class ServerConfig:
     # host before startup. Full API surface (return_logits, unbounded
     # forbidden sets, per-host HBM pool cache) as of round 4.
     lockstep: int = 0
+    # worker load+warmup deadline: remote TPU compiles are a lottery
+    # (the same 7.2B decode-block program measured 20-445 s across runs),
+    # so the engine default of 300 s intermittently killed healthy startups
+    load_timeout: float = 900.0
     # named preset of measured serving settings (see PROFILES below)
     profile: str = ""
     # test/dev hook: "L,C" builds a synthetic model of that size

@@ -194,7 +194,10 @@ async def run_load(url, args):
     # cross-check.
     usage_total = stats["usage_tokens"]
     expected = args.concurrency * args.max_tokens
-    if usage_total and total:
+    if usage_total and total and stats["errors"] == 0:
+        # errored streams' frames are in `total` but their tokens never
+        # reach usage_total — the usage basis would bias LOW exactly in
+        # degraded runs, so it requires a clean run (like the old basis)
         scale, scale_basis = usage_total / total, "server_usage"
     elif total and stats["errors"] == 0:
         scale, scale_basis = expected / total, "expected_total"

@@ -215,3 +215,66 @@ def test_abandoned_leader_releases_followers():
         assert await c.release_claim(claim3) is True
 
     asyncio.run(asyncio.wait_for(go(), timeout=60))
+
+
+def test_check_falls_back_to_shallower_prefix_after_revocation():
+    """A revoked device-pool entry (evict-on-exhaustion) self-heals at
+    lookup; check() must RE-WALK and find the next-shallower cached prefix
+    instead of reporting a total miss (round-5 review finding)."""
+    from chirrup_tpu.engine.structures import PoolHandle, StatePoolAllocator
+
+    alloc = StatePoolAllocator(2)
+    cache = PrefixStateCache(max_size=10)
+    h1 = PoolHandle(row=alloc.alloc(), worker_id="w", allocator=alloc,
+                    device_bytes=10)
+    cache.cache((1, 2), h1)
+    h2 = PoolHandle(row=alloc.alloc(), worker_id="w", allocator=alloc,
+                    device_bytes=10)
+    cache.cache((1, 2, 3, 4), h2)
+
+    assert h2.try_revoke()
+    remaining, st, n = cache.check([1, 2, 3, 4, 5])
+    assert st is h1 and n == 2           # shallower prefix, not a miss
+    assert remaining == [3, 4, 5]
+    # the dead deep entry is pruned (second lookup walks clean)
+    assert cache.check([1, 2, 3, 4, 5])[2] == 2
+
+
+def test_check_returns_node_at_cached_depth():
+    """check(return_trie_node=True) must return the node AT the cached
+    depth (root on a miss): check_and_wait_prefill grafts the claim path
+    tokens[best:eff] under it, and a walk-stop node deeper than (or
+    diverged from) the cached prefix grafted detached claim paths whose
+    cache-event wake never found the followers (round-5 review finding)."""
+    cache = PrefixStateCache(max_size=10)
+    cache.cache((1, 2, 3, 4), _state(1))
+
+    # query diverging after depth 2 (the walk descends the refcounted trie
+    # path to depth 2 before the mismatch): graft node must be ROOT
+    _, st, n, node = cache.check([1, 2, 9, 9], return_trie_node=True)
+    assert st is None and n == 0
+    assert node is cache.root
+
+    # exact-prefix query: node at depth 4
+    _, st, n, node = cache.check([1, 2, 3, 4, 5], return_trie_node=True)
+    assert n == 4 and st is not None
+    assert node is cache._find((1, 2, 3, 4))
+
+
+def test_cache_event_prepends_resumed_prefix():
+    """A resumed-from-cache request prefills only the SUFFIX; its snapshot
+    event must be cached under resumed_prefix + prefilled — a suffix-only
+    key would poison the cache (a later prompt genuinely starting with the
+    suffix would resume a state secretly containing the prefix).
+    Round-5 review finding on server/app._cache_event."""
+    from chirrup_tpu.server.app import _cache_event
+
+    cache = PrefixStateCache(max_size=4)
+    st = _state(7)
+    asyncio.run(_cache_event(
+        cache, {"state": st, "prefilled_tokens": (5, 6)}, (1, 2, 3)))
+    # full-key lookup hits...
+    _, got, n = cache.check([1, 2, 3, 5, 6, 9])
+    assert got is st and n == 5
+    # ...and no orphan suffix-only entry exists
+    assert cache.check([5, 6, 9])[1] is None
