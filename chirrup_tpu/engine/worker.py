@@ -1243,9 +1243,22 @@ class Worker:
             # prompts are the backlog), halve the ratio so ingestion gets
             # ~2.5x the chunk budget; the few early streams trade some TPOT
             # for everyone else's TTFT, and steady-state traffic (decoders
-            # >= prefills) keeps the reference's exact 1:5 policy
+            # >= prefills) keeps the reference's exact 1:5 policy.
+            # The backlog includes DEFERRED + QUEUED prompts, not just the
+            # in-flight SEQ slots: n_seq is capped at max_prefill_count
+            # (~32), so `decode_count < n_seq` stopped triggering the moment
+            # one admission wave started decoding — a 200-long-prompt cold
+            # burst ran its remaining waves at the 1:5 steady ratio with
+            # 300+ slots idle (measured TTFT p50 53 s; the idle-slot guard
+            # keeps loaded steady-state traffic on the reference policy)
             ratio = self.decode_prefill_ratio
-            if decode_count < n_seq:
+            backlog = n_seq + len(self._deferred_tasks)
+            try:
+                backlog += self.task_queue.qsize()
+            except (AttributeError, NotImplementedError):
+                pass
+            idle = sum(1 for s in self.slots if s.phase == SlotPhase.EMPTY)
+            if decode_count < backlog and idle >= self.batch_size // 2:
                 ratio = max(1, ratio // 2)
             if n_seq == 0:
                 # no prefill work: don't accrue debt that would burst-fire
