@@ -36,8 +36,12 @@ def _pick_nk(K: int) -> int:
     return 2 if K % 2 == 0 else 1
 
 
-def _pick_bm(K: int, M: int, budget: int = 8 * 1024 * 1024) -> int:
+def _pick_bm(K: int, M: int, budget: int = 8 * 1024 * 1024,
+             rows: int = 0) -> int:
     """M-tile size for the weight stream.
+
+    rows: the GEMM's row count when the caller knows it — the deep-K
+    preference flips at prefill row counts (see below).
 
     Swept on v5e with seconds-scale chained-loop totals
     (scripts/sweep_fused_kernels.py, round-3 reruns with the device_get sync —
@@ -55,9 +59,16 @@ def _pick_bm(K: int, M: int, budget: int = 8 * 1024 * 1024) -> int:
     if not cands:
         return 0
     if K * M > 32 * 1024 * 1024:
-        # deep-K (FFN-V 16384x4096): small tiles keep double-buffering fed;
+        # deep-K (FFN-V 16384x4096): at DECODE batches small tiles keep
+        # double-buffering fed (256: 216-219 us at B=200, 366.9 vs 319.8 at
+        # B=384); at PREFILL row counts the GEMM is MXU-bound and the
+        # 2x-fewer tile boundaries win — bm=512 measured 1.49 vs 2.08
+        # ms/call at B=2048 rows (round-5 sweep, chained-loop slope).
         # wide-M shallow-K (FFN-K 4096x16384): 512 (see sweep numbers above)
-        prefer = (256, 512) if K > 8192 else (512, 256)
+        if K > 8192:
+            prefer = (512, 256) if rows >= 1024 else (256, 512)
+        else:
+            prefer = (512, 256)
         for small in prefer:
             if small in cands:
                 return small
@@ -395,7 +406,7 @@ def _fused_a8_call(x, mx, rx, my, ry, q, layer, *, interpret, activation,
     B, K = x.shape
     stacked = layer is not None
     M = q.shape[-1]
-    bm = _pick_bm(K, M)
+    bm = _pick_bm(K, M, rows=B)
     if not bm:
         raise ValueError(f"unsupported mm8 shapes B={B} K={K} M={M}")
     n_k = _pick_nk(K)
