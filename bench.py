@@ -15,7 +15,7 @@ load time. Prints one JSON line; vs_baseline = aggregate tok/s / 3200.
 Driver-robustness design (the round-1 artifact was rc=124/parsed=null):
   - the TPU-tunnel probe is capped (BENCH_PROBE_S, default 120 s) — a wedged
     tunnel costs 2 minutes, not the whole window;
-  - a global deadline (BENCH_DEADLINE_S, default 480 s from process start)
+  - a global deadline (BENCH_DEADLINE_S, default 900 s from process start)
     is checked between phases and measurement blocks; whatever was measured
     by then is emitted as the JSON line (flagged "partial");
   - SIGTERM/SIGALRM emit the best-available JSON line before exiting, so even
@@ -46,7 +46,12 @@ import numpy as np
 
 BASELINE_PER_GPU_TOKS = 3200.0  # 200 req x 16 tok/s/req (reference README.md:17-19)
 _START = time.time()
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "480"))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+# 480 s died once in round 5: a cold compile exceeded the whole window
+# (the lottery's observed range grew past the documented 445 s) and the
+# alarm fired with NOTHING measured — 900 s leaves room for one worst-case
+# compile plus the measurement; SIGTERM still emits a partial if the
+# driver kills earlier
 PROBE_S = float(os.environ.get("BENCH_PROBE_S", "120"))
 
 # best-result-so-far, emitted by the signal handler / partial paths
